@@ -1,0 +1,14 @@
+"""Test env: CPU backend with 8 virtual devices so pjit/Mesh/psum logic is
+exercised without TPU hardware (the capability the torch reference lacks —
+its distributed path is only testable on a real cluster)."""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
