@@ -1,0 +1,217 @@
+"""GroundingDINO top-level model (reference models/GroundingDINO/groundingdino.py:55-402).
+
+Open-set text-conditioned detector: BERT-encode the caption with sub-sentence
+masks, project to d_model (feat_map), run the Swin backbone, project
+multi-level features (1x1 conv + GroupNorm + extra stride-2 level), run the
+two-stage deformable transformer with image<->text fusion, and read out
+per-layer contrastive token logits + refined boxes.
+
+Host/device contract (all static shapes):
+  images         (B, Hb, Wb, 3) float   — bucket-padded, ImageNet-normalized
+  image_sizes    (B, 2) int32           — valid (h, w) before padding
+  input_ids      (B, T) int32           — T = max_text_len (fixed)
+  text_token_mask(B, T) bool            — True = real token
+  position_ids   (B, T) int32           — per-phrase positions
+  text_self_attention_masks (B, T, T) bool — block-diagonal, True = attend
+
+Tokenization and mask construction happen on host (data/tokenization.py),
+mirroring the reference's host-side tokenizer calls (groundingdino.py:237-257).
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .bert import BertConfig, BertModel
+from .layers import contrastive_embed
+from .position_encoding import position_embedding_sine_hw
+from .swin import SwinConfig, SwinTransformer
+from .transformer import Transformer, make_level_masks
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def level_spatial_shapes(
+    image_hw: Tuple[int, int], num_levels: int, first_stride: int = 8
+) -> Shapes:
+    """Static per-level feature shapes for a bucket: strides 8/16/32(/64...).
+    Matches Swin's ceil-division downsampling for non-divisible sizes."""
+    H, W = image_hw
+    shapes = []
+    h, w = -(-H // 4), -(-W // 4)  # patch embed stride 4
+    h, w = -(-h // 2), -(-w // 2)  # stage 1 (stride 8) — first output level
+    for _ in range(num_levels):
+        shapes.append((h, w))
+        h, w = -(-h // 2), -(-w // 2)
+    return tuple(shapes)
+
+
+class GroundingDINO(nn.Module):
+    swin_cfg: SwinConfig
+    bert_cfg: BertConfig = BertConfig()
+    hidden_dim: int = 256
+    num_queries: int = 900
+    nheads: int = 8
+    num_feature_levels: int = 4
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 2048
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    max_text_len: int = 256
+    pe_temperature_h: float = 20.0
+    pe_temperature_w: float = 20.0
+    use_checkpoint: bool = False
+    use_transformer_ckpt: bool = False
+    use_text_enhancer: bool = True
+    use_fusion_layer: bool = True
+    use_text_cross_attention: bool = True
+    msda_impl: str = "auto"
+    aux_loss: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_token_mask: jnp.ndarray,
+        position_ids: jnp.ndarray,
+        text_self_attention_masks: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        B, Hb, Wb, _ = images.shape
+        C = self.hidden_dim
+
+        # ---- text tower -------------------------------------------------
+        bert_out = BertModel(self.bert_cfg, name="bert")(
+            input_ids,
+            text_self_attention_masks,
+            position_ids=position_ids,
+            deterministic=deterministic,
+        )
+        encoded_text = nn.Dense(C, name="feat_map")(bert_out)
+        text_dict = {
+            "encoded_text": encoded_text,
+            "text_token_mask": text_token_mask,
+            "position_ids": position_ids,
+            "text_self_attention_masks": text_self_attention_masks,
+        }
+
+        # ---- image tower -------------------------------------------------
+        feats: List[jnp.ndarray] = SwinTransformer(self.swin_cfg, name="backbone")(
+            images
+        )
+        num_backbone_outs = len(feats)
+
+        srcs = []
+        for l, feat in enumerate(feats):
+            x = nn.Conv(C, (1, 1), name=f"input_proj_{l}_conv")(feat)
+            x = nn.GroupNorm(num_groups=32, name=f"input_proj_{l}_gn")(x)
+            srcs.append(x)
+        for l in range(num_backbone_outs, self.num_feature_levels):
+            src_in = feats[-1] if l == num_backbone_outs else srcs[-1]
+            x = nn.Conv(
+                C, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                name=f"input_proj_{l}_conv",
+            )(src_in)
+            x = nn.GroupNorm(num_groups=32, name=f"input_proj_{l}_gn")(x)
+            srcs.append(x)
+
+        shapes: Shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        strides = tuple(8 * (2 ** i) for i in range(self.num_feature_levels))
+        masks = make_level_masks(image_sizes, shapes, strides)
+        poss = [
+            position_embedding_sine_hw(
+                m, C // 2, self.pe_temperature_h, self.pe_temperature_w
+            ).astype(srcs[0].dtype)
+            for m in masks
+        ]
+
+        # ---- transformer -------------------------------------------------
+        t_out = Transformer(
+            d_model=C,
+            nhead=self.nheads,
+            num_queries=self.num_queries,
+            num_encoder_layers=self.enc_layers,
+            num_decoder_layers=self.dec_layers,
+            dim_feedforward=self.dim_feedforward,
+            num_feature_levels=self.num_feature_levels,
+            enc_n_points=self.enc_n_points,
+            dec_n_points=self.dec_n_points,
+            use_text_enhancer=self.use_text_enhancer,
+            use_fusion_layer=self.use_fusion_layer,
+            use_text_cross_attention=self.use_text_cross_attention,
+            use_checkpoint=self.use_checkpoint,
+            use_transformer_ckpt=self.use_transformer_ckpt,
+            max_text_len=self.max_text_len,
+            msda_impl=self.msda_impl,
+            spatial_shapes=shapes,
+            name="transformer",
+        )(srcs, masks, poss, text_dict)
+
+        # ---- heads ---------------------------------------------------------
+        memory_text = t_out["memory_text"]
+        outputs_class = [
+            contrastive_embed(hs_i, memory_text, text_token_mask, self.max_text_len)
+            for hs_i in t_out["hs"]
+        ]
+        outputs_coord = t_out["outputs_coord"]
+
+        out = {
+            "pred_logits": outputs_class[-1],
+            "pred_boxes": outputs_coord[-1],
+            "text_mask": text_token_mask,
+        }
+        if self.aux_loss:
+            out["aux_outputs"] = [
+                {"pred_logits": c, "pred_boxes": b}
+                for c, b in zip(outputs_class[:-1], outputs_coord[:-1])
+            ]
+        interm_class = contrastive_embed(
+            t_out["hs_enc"], memory_text, text_token_mask, self.max_text_len
+        )
+        out["interm_outputs"] = {
+            "pred_logits": interm_class,
+            "pred_boxes": t_out["ref_enc"],
+        }
+        out["interm_outputs_for_matching_pre"] = {
+            "pred_logits": interm_class,
+            "pred_boxes": t_out["init_box_proposal"],
+        }
+        return out
+
+
+def build_groundingdino(args) -> GroundingDINO:
+    """Build from an SLConfig-style args namespace (reference
+    groundingdino.py:726-806 registry entry)."""
+    swin_cfg = SwinConfig.from_name(
+        args.backbone,
+        out_indices=tuple(args.return_interm_indices),
+        use_checkpoint=bool(getattr(args, "use_checkpoint", False)),
+    )
+    return GroundingDINO(
+        swin_cfg=swin_cfg,
+        hidden_dim=args.hidden_dim,
+        num_queries=args.num_queries,
+        nheads=args.nheads,
+        num_feature_levels=args.num_feature_levels,
+        enc_layers=args.enc_layers,
+        dec_layers=args.dec_layers,
+        dim_feedforward=args.dim_feedforward,
+        enc_n_points=args.enc_n_points,
+        dec_n_points=args.dec_n_points,
+        max_text_len=args.max_text_len,
+        pe_temperature_h=float(args.pe_temperatureH),
+        pe_temperature_w=float(args.pe_temperatureW),
+        use_checkpoint=bool(getattr(args, "use_checkpoint", False)),
+        use_transformer_ckpt=bool(getattr(args, "use_transformer_ckpt", False)),
+        use_text_enhancer=bool(args.use_text_enhancer),
+        use_fusion_layer=bool(args.use_fusion_layer),
+        use_text_cross_attention=bool(args.use_text_cross_attention),
+        msda_impl=getattr(args, "msda_impl", "auto"),
+        aux_loss=bool(args.aux_loss),
+    )

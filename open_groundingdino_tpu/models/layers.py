@@ -1,0 +1,229 @@
+"""Shared transformer building blocks.
+
+Includes a MultiHeadAttention with torch.nn.MultiheadAttention's packed-QKV
+parameterization (so published checkpoints convert 1:1), the GLIP-style
+bidirectional image<->text fusion attention with its bf16 stability clamps
+(reference fuse_modules.py:99-295), the text-enhancer layer
+(reference transformer_vanilla.py:72-123), and small utilities
+(MLP, ContrastiveEmbed — reference models/GroundingDINO/utils.py:171-273).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .position_encoding import get_sine_pos_embed
+
+NEG_INF = float("-inf")
+
+
+class MultiHeadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-compatible MHA (packed in_proj, out_proj).
+
+    q, k, v: (B, Tq|Tk, E).  attn_mask: additive-or-bool (B, Tq, Tk) or
+    (Tq, Tk); key_padding_mask: (B, Tk) bool, True = pad.
+    """
+
+    embed_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v, attn_mask=None, key_padding_mask=None):
+        E, H = self.embed_dim, self.num_heads
+        D = E // H
+        B, Tq, _ = q.shape
+        Tk = k.shape[1]
+
+        in_proj_w = self.param(
+            "in_proj_weight", nn.initializers.xavier_uniform(), (3 * E, E)
+        )
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
+        qp = q @ in_proj_w[:E].T + in_proj_b[:E]
+        kp = k @ in_proj_w[E : 2 * E].T + in_proj_b[E : 2 * E]
+        vp = v @ in_proj_w[2 * E :].T + in_proj_b[2 * E :]
+
+        qp = qp.reshape(B, Tq, H, D)
+        kp = kp.reshape(B, Tk, H, D)
+        vp = vp.reshape(B, Tk, H, D)
+
+        scale = jnp.asarray(D ** -0.5, q.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qp * scale, kp)
+
+        neg = jnp.asarray(-1e9, logits.dtype)
+        if attn_mask is not None:
+            if attn_mask.dtype == jnp.bool_:
+                bias = jnp.where(attn_mask, neg, 0.0)  # True = NOT allowed (torch)
+            else:
+                bias = attn_mask.astype(logits.dtype)
+            if bias.ndim == 2:
+                bias = bias[None, None]
+            else:
+                bias = bias[:, None]
+            logits = logits + bias
+        if key_padding_mask is not None:
+            logits = jnp.where(
+                key_padding_mask[:, None, None, :], neg, logits
+            )
+
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vp).reshape(B, Tq, E)
+        return nn.Dense(E, name="out_proj")(out)
+
+
+class BiMultiHeadAttention(nn.Module):
+    """Bidirectional image<->text cross-attention from one logits matrix
+    (reference fuse_modules.py:99-248), stability clamps included."""
+
+    v_dim: int
+    l_dim: int
+    embed_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, v, l, attention_mask_v=None, attention_mask_l=None):
+        """v: (B, Nv, v_dim) image tokens; l: (B, Nl, l_dim) text tokens.
+        attention_mask_*: (B, N*) bool, True = PAD (masked out)."""
+        B, Nv, _ = v.shape
+        Nl = l.shape[1]
+        H = self.num_heads
+        D = self.embed_dim // H
+        scale = D ** -0.5
+
+        q = nn.Dense(self.embed_dim, name="v_proj")(v) * scale
+        k = nn.Dense(self.embed_dim, name="l_proj")(l)
+        val_v = nn.Dense(self.embed_dim, name="values_v_proj")(v)
+        val_l = nn.Dense(self.embed_dim, name="values_l_proj")(l)
+
+        q = q.reshape(B, Nv, H, D)
+        k = k.reshape(B, Nl, H, D)
+        val_v = val_v.reshape(B, Nv, H, D)
+        val_l = val_l.reshape(B, Nl, H, D)
+
+        logits = jnp.einsum("bvhd,blhd->bhvl", q, k)  # (B, H, Nv, Nl)
+        # stable_softmax_2d + clamps (reference fuse_modules.py:181-202):
+        # subtract the global max, clamp to +-50000 in both directions.
+        logits = logits - jax.lax.stop_gradient(jnp.max(logits))
+        logits = jnp.clip(logits, -50000.0, 50000.0)
+
+        logits_t = jnp.swapaxes(logits, -1, -2)  # (B, H, Nl, Nv)
+        logits_l = logits_t - jax.lax.stop_gradient(
+            jnp.max(logits_t, axis=-1, keepdims=True)
+        )
+        logits_l = jnp.clip(logits_l, -50000.0, 50000.0)
+
+        neg = jnp.asarray(-1e9, logits.dtype)
+        if attention_mask_v is not None:  # mask image tokens for text->image attn
+            logits_l = jnp.where(attention_mask_v[:, None, None, :], neg, logits_l)
+        attn_l = jax.nn.softmax(logits_l.astype(jnp.float32), axis=-1).astype(l.dtype)
+
+        if attention_mask_l is not None:  # mask text tokens for image->text attn
+            logits = jnp.where(attention_mask_l[:, None, None, :], neg, logits)
+        attn_v = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+
+        out_v = jnp.einsum("bhvl,blhd->bvhd", attn_v, val_l).reshape(
+            B, Nv, self.embed_dim
+        )
+        out_l = jnp.einsum("bhlv,bvhd->blhd", attn_l, val_v).reshape(
+            B, Nl, self.embed_dim
+        )
+        out_v = nn.Dense(self.v_dim, name="out_v_proj")(out_v)
+        out_l = nn.Dense(self.l_dim, name="out_l_proj")(out_l)
+        return out_v, out_l
+
+
+class BiAttentionBlock(nn.Module):
+    """Pre-LN fusion block with layer-scale residuals
+    (reference fuse_modules.py:252-295; gamma init 1e-4; droppath omitted —
+    detection configs train with droppath only as regularisation and it is
+    identity at inference)."""
+
+    v_dim: int
+    l_dim: int
+    embed_dim: int
+    num_heads: int
+    init_values: float = 1e-4
+
+    @nn.compact
+    def __call__(self, v, l, attention_mask_v=None, attention_mask_l=None):
+        vn = nn.LayerNorm(name="layer_norm_v")(v)
+        ln = nn.LayerNorm(name="layer_norm_l")(l)
+        dv, dl = BiMultiHeadAttention(
+            self.v_dim, self.l_dim, self.embed_dim, self.num_heads, name="attn"
+        )(vn, ln, attention_mask_v, attention_mask_l)
+        gamma_v = self.param(
+            "gamma_v", nn.initializers.constant(self.init_values), (self.v_dim,)
+        )
+        gamma_l = self.param(
+            "gamma_l", nn.initializers.constant(self.init_values), (self.l_dim,)
+        )
+        return vn + gamma_v * dv, ln + gamma_l * dl
+
+
+class TextEnhancerLayer(nn.Module):
+    """Post-norm transformer encoder layer over text tokens with sine pos
+    embeds from position_ids and a block-diagonal attention mask
+    (reference transformer_vanilla.py:72-123 + transformer.py:571-577)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+
+    @nn.compact
+    def __call__(self, text, text_self_attention_masks, position_ids):
+        """text: (B, T, C); text_self_attention_masks: (B, T, T) bool
+        True = may attend; position_ids: (B, T) int."""
+        pos = get_sine_pos_embed(
+            position_ids[..., None].astype(jnp.float32),
+            num_pos_feats=self.d_model,
+            exchange_xy=False,
+        ).astype(text.dtype)
+        q = text + pos
+        # torch convention: attn_mask True = NOT allowed
+        attn_out = MultiHeadAttention(self.d_model, self.nhead, name="self_attn")(
+            q, q, text, attn_mask=~text_self_attention_masks
+        )
+        x = nn.LayerNorm(name="norm1")(text + attn_out)
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        return nn.LayerNorm(name="norm2")(x + h)
+
+
+class MLP(nn.Module):
+    """Simple ReLU MLP head (reference models/GroundingDINO/utils.py:171-185)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+def contrastive_embed(
+    queries: jnp.ndarray,        # (B, Q, C)
+    encoded_text: jnp.ndarray,   # (B, T, C)
+    text_token_mask: jnp.ndarray,  # (B, T) bool, True = real token
+    max_text_len: int = 256,
+) -> jnp.ndarray:
+    """Token-level contrastive classification logits, padded to max_text_len
+    with -inf on pad/overflow positions (reference utils.py:233-273).
+    No learnable parameters."""
+    res = jnp.einsum("bqc,btc->bqt", queries, encoded_text)
+    res = jnp.where(text_token_mask[:, None, :], res, NEG_INF)
+    T = res.shape[-1]
+    if T < max_text_len:
+        pad = jnp.full((*res.shape[:-1], max_text_len - T), NEG_INF, res.dtype)
+        res = jnp.concatenate([res, pad], axis=-1)
+    else:
+        res = res[..., :max_text_len]
+    return res

@@ -1,0 +1,421 @@
+"""Two-stage deformable transformer with image<->text fusion (the
+GroundingDINO "neck": reference models/GroundingDINO/transformer.py).
+
+Encoder layer = BiAttention fusion -> text self-attention enhancer ->
+multi-scale deformable self-attention + FFN (reference transformer.py:550-598,
+747-808).  Two-stage query selection picks the top-num_queries encoder tokens
+by max text-contrastive logit and turns them into anchor boxes
+(reference transformer.py:285-328).  Decoder layer = self-attn -> text
+cross-attn -> deformable cross-attn -> FFN with per-layer box refinement on
+detached reference points (reference transformer.py:672-736, 811-936).
+
+TPU-first notes:
+  * level spatial shapes are static (bucketed inputs); all proposal grids and
+    reference-point lattices are trace-time constants,
+  * masks/valid-ratios are computed analytically from per-image valid sizes,
+  * remat (jax.checkpoint) wraps fusion/encoder layers when configured,
+  * the decoder FFN runs in fp32 as the reference forces under AMP
+    (reference transformer.py:871).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.misc import inverse_sigmoid
+from .deformable import MSDeformAttn
+from .layers import (
+    BiAttentionBlock,
+    MLP,
+    MultiHeadAttention,
+    TextEnhancerLayer,
+    contrastive_embed,
+)
+from .position_encoding import gen_sineembed_for_position
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def encoder_reference_points(
+    spatial_shapes: Shapes, valid_ratios: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, sum(HW), NL, 2) reference points for encoder deformable self-attn
+    (reference transformer.py:470-485)."""
+    ref_list = []
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        gy, gx = np.meshgrid(
+            np.arange(H, dtype=np.float32) + 0.5,
+            np.arange(W, dtype=np.float32) + 0.5,
+            indexing="ij",
+        )
+        grid = jnp.asarray(np.stack([gx.reshape(-1), gy.reshape(-1)], -1))  # static
+        # normalize by the valid extent of *this* level
+        denom = valid_ratios[:, None, lvl, :] * jnp.asarray([W, H], jnp.float32)
+        ref_list.append(grid[None] / denom)
+    ref = jnp.concatenate(ref_list, axis=1)  # (B, sumHW, 2)
+    return ref[:, :, None, :] * valid_ratios[:, None, :, :]
+
+
+def make_level_masks(
+    image_sizes: jnp.ndarray, spatial_shapes: Shapes, strides: Tuple[int, ...]
+) -> List[jnp.ndarray]:
+    """Analytic per-level padding masks from valid image sizes.
+
+    Equivalent to the reference's nearest-neighbour mask interpolation
+    (F.interpolate in backbone/groundingdino.py:308): for integer stride s,
+    row i of the feature map is valid iff i < ceil(valid_h / s).
+
+    image_sizes: (B, 2) int32 [h, w] valid pixels.  Returns list of (B, H, W)
+    bool masks, True = PAD.
+    """
+    masks = []
+    for (H, W), s in zip(spatial_shapes, strides):
+        vh = (image_sizes[:, 0] + s - 1) // s  # (B,)
+        vw = (image_sizes[:, 1] + s - 1) // s
+        rows = jnp.arange(H)[None, :, None]
+        cols = jnp.arange(W)[None, None, :]
+        valid = (rows < vh[:, None, None]) & (cols < vw[:, None, None])
+        masks.append(~valid)
+    return masks
+
+
+def compute_valid_ratios(masks: List[jnp.ndarray]) -> jnp.ndarray:
+    """(B, NL, 2) [w_ratio, h_ratio] (reference transformer.py:200-207)."""
+    ratios = []
+    for m in masks:
+        _, H, W = m.shape
+        valid_h = jnp.sum(~m[:, :, 0], axis=1).astype(jnp.float32)
+        valid_w = jnp.sum(~m[:, 0, :], axis=1).astype(jnp.float32)
+        ratios.append(jnp.stack([valid_w / W, valid_h / H], axis=-1))
+    return jnp.stack(ratios, axis=1)
+
+
+def gen_encoder_output_proposals(
+    memory: jnp.ndarray,            # (B, S, C)
+    memory_padding_mask: jnp.ndarray,  # (B, S) True = pad
+    spatial_shapes: Shapes,
+):
+    """Anchor-box proposals from the encoder token lattice
+    (reference models/GroundingDINO/utils.py:56-116)."""
+    B, S, C = memory.shape
+    proposals = []
+    cur = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        mask_l = memory_padding_mask[:, cur : cur + H * W].reshape(B, H, W)
+        valid_h = jnp.sum(~mask_l[:, :, 0], axis=1).astype(jnp.float32)
+        valid_w = jnp.sum(~mask_l[:, 0, :], axis=1).astype(jnp.float32)
+
+        gy, gx = np.meshgrid(
+            np.arange(H, dtype=np.float32),
+            np.arange(W, dtype=np.float32),
+            indexing="ij",
+        )
+        grid = jnp.asarray(np.stack([gx, gy], -1))  # (H, W, 2) static
+        scale = jnp.stack([valid_w, valid_h], -1).reshape(B, 1, 1, 2)
+        grid = (grid[None] + 0.5) / scale
+        wh = jnp.ones_like(grid) * (0.05 * (2.0 ** lvl))
+        proposals.append(jnp.concatenate([grid, wh], -1).reshape(B, -1, 4))
+        cur += H * W
+
+    output_proposals = jnp.concatenate(proposals, axis=1)  # (B, S, 4)
+    valid = jnp.all(
+        (output_proposals > 0.01) & (output_proposals < 0.99), axis=-1, keepdims=True
+    )
+    output_proposals = jnp.log(output_proposals / (1 - output_proposals))
+    inf = jnp.asarray(jnp.inf, output_proposals.dtype)
+    output_proposals = jnp.where(memory_padding_mask[..., None], inf, output_proposals)
+    output_proposals = jnp.where(~valid, inf, output_proposals)
+
+    output_memory = jnp.where(memory_padding_mask[..., None], 0.0, memory)
+    output_memory = jnp.where(~valid, 0.0, output_memory)
+    return output_memory, output_proposals
+
+
+class DeformableEncoderLayer(nn.Module):
+    d_model: int
+    d_ffn: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    msda_impl: str = "auto"
+    spatial_shapes: Shapes = ()
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, key_padding_mask):
+        src2 = MSDeformAttn(
+            self.d_model, self.n_heads, self.n_levels, self.n_points,
+            impl=self.msda_impl, name="self_attn",
+        )(src + pos, src, reference_points, self.spatial_shapes, key_padding_mask)
+        src = nn.LayerNorm(name="norm1")(src + src2)
+        h = nn.Dense(self.d_ffn, name="linear1")(src)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        return nn.LayerNorm(name="norm2")(src + h)
+
+
+class DeformableDecoderLayer(nn.Module):
+    d_model: int
+    d_ffn: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    use_text_cross_attention: bool = True
+    msda_impl: str = "auto"
+    spatial_shapes: Shapes = ()
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt,                   # (B, Q, C)
+        query_pos,             # (B, Q, C)
+        reference_points,      # (B, Q, NL, 4)
+        memory,                # (B, S, C)
+        memory_key_padding_mask,  # (B, S)
+        memory_text,           # (B, T, C)
+        text_attention_mask,   # (B, T) True = pad
+    ):
+        # self attention
+        q = k = tgt + query_pos
+        sa = MultiHeadAttention(self.d_model, self.n_heads, name="self_attn")(q, k, tgt)
+        tgt = nn.LayerNorm(name="norm2")(tgt + sa)
+
+        # text cross attention
+        if self.use_text_cross_attention:
+            ca = MultiHeadAttention(self.d_model, self.n_heads, name="ca_text")(
+                tgt + query_pos, memory_text, memory_text,
+                key_padding_mask=text_attention_mask,
+            )
+            tgt = nn.LayerNorm(name="catext_norm")(tgt + ca)
+
+        # deformable image cross attention
+        ca2 = MSDeformAttn(
+            self.d_model, self.n_heads, self.n_levels, self.n_points,
+            impl=self.msda_impl, name="cross_attn",
+        )(
+            tgt + query_pos, memory, reference_points, self.spatial_shapes,
+            memory_key_padding_mask,
+        )
+        tgt = nn.LayerNorm(name="norm1")(tgt + ca2)
+
+        # FFN in fp32 (reference transformer.py:871 forces fp32 under AMP)
+        t32 = tgt.astype(jnp.float32)
+        h = nn.Dense(self.d_ffn, name="linear1")(t32)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        return nn.LayerNorm(name="norm3")((t32 + h)).astype(tgt.dtype)
+
+
+class Transformer(nn.Module):
+    d_model: int = 256
+    nhead: int = 8
+    num_queries: int = 900
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    num_feature_levels: int = 4
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    use_text_enhancer: bool = True
+    use_fusion_layer: bool = True
+    use_text_cross_attention: bool = True
+    use_checkpoint: bool = False        # remat fusion layers
+    use_transformer_ckpt: bool = False  # remat deformable encoder layers
+    max_text_len: int = 256
+    msda_impl: str = "auto"
+    spatial_shapes: Shapes = ()         # static, set per bucket
+
+    @nn.compact
+    def __call__(
+        self,
+        srcs: List[jnp.ndarray],        # per level (B, H, W, C)
+        masks: List[jnp.ndarray],       # per level (B, H, W) True = pad
+        pos_embeds: List[jnp.ndarray],  # per level (B, H, W, C)
+        text_dict: dict,
+    ):
+        assert len(srcs) == self.num_feature_levels
+        B = srcs[0].shape[0]
+        C = self.d_model
+        shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        assert shapes == tuple(self.spatial_shapes), (shapes, self.spatial_shapes)
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.num_feature_levels, C),
+        )
+
+        src_flat = jnp.concatenate([s.reshape(B, -1, C) for s in srcs], axis=1)
+        mask_flat = jnp.concatenate([m.reshape(B, -1) for m in masks], axis=1)
+        pos_flat = jnp.concatenate(
+            [
+                (p + level_embed[l][None, None, None, :]).reshape(B, -1, C)
+                for l, p in enumerate(pos_embeds)
+            ],
+            axis=1,
+        )
+        valid_ratios = compute_valid_ratios(masks)  # (B, NL, 2)
+
+        # ---------------- encoder ----------------
+        memory, memory_text = self._encode(
+            src_flat, pos_flat, mask_flat, valid_ratios, shapes, text_dict
+        )
+
+        # ---------------- two-stage query selection ----------------
+        output_memory, output_proposals = gen_encoder_output_proposals(
+            memory, mask_flat, shapes
+        )
+        output_memory = nn.Dense(C, name="enc_output")(output_memory)
+        output_memory = nn.LayerNorm(name="enc_output_norm")(output_memory)
+
+        enc_logits = contrastive_embed(
+            output_memory, memory_text, text_dict["text_token_mask"],
+            self.max_text_len,
+        )
+        topk_logits = jnp.max(enc_logits, axis=-1)  # (B, S)
+        # enc_out_bbox_embed lives on the top model for weight sharing — the
+        # delta MLP is created here but shared by name from GroundingDINO.
+        enc_delta = MLP(C, 4, 3, name="enc_out_bbox_embed")(output_memory)
+        enc_coords_unsel = enc_delta + output_proposals  # (B, S, 4) unsigmoid
+
+        _, topk_idx = jax.lax.top_k(topk_logits, self.num_queries)  # (B, Q)
+        gather = lambda t: jnp.take_along_axis(
+            t, topk_idx[..., None].astype(jnp.int32), axis=1
+        )
+        refpoint_undetach = gather(enc_coords_unsel)          # (B, Q, 4)
+        refpoint = jax.lax.stop_gradient(refpoint_undetach)
+        init_box_proposal = jax.nn.sigmoid(gather(output_proposals))
+        tgt_undetach = gather(output_memory)                  # (B, Q, C)
+
+        tgt_embed = self.param(
+            "tgt_embed", nn.initializers.normal(1.0), (self.num_queries, C)
+        )
+        tgt = jnp.broadcast_to(tgt_embed[None], (B, self.num_queries, C)).astype(
+            memory.dtype
+        )
+
+        # ---------------- decoder ----------------
+        hs, outputs_coord, references = self._decode(
+            tgt, refpoint, memory, mask_flat, valid_ratios, shapes,
+            memory_text, text_dict,
+        )
+
+        return {
+            "hs": hs,                        # list[n_dec] of (B, Q, C)
+            "outputs_coord": outputs_coord,  # list[n_dec] of (B, Q, 4) sigmoid
+            "references": references,        # list[n_dec+1] of (B, Q, 4)
+            "memory_text": memory_text,      # (B, T, C) fused text
+            "hs_enc": tgt_undetach,          # (B, Q, C)
+            "ref_enc": jax.nn.sigmoid(refpoint_undetach),  # (B, Q, 4)
+            "init_box_proposal": init_box_proposal,        # (B, Q, 4)
+        }
+
+    # ------------------------------------------------------------------
+    def _encode(self, src, pos, key_padding_mask, valid_ratios, shapes, text_dict):
+        memory_text = text_dict["encoded_text"]
+        text_pad = ~text_dict["text_token_mask"]  # True = pad
+        reference_points = encoder_reference_points(shapes, valid_ratios)
+
+        fusion_cls = nn.remat(BiAttentionBlock) if self.use_checkpoint else BiAttentionBlock
+        enc_cls = (
+            nn.remat(DeformableEncoderLayer)
+            if self.use_transformer_ckpt
+            else DeformableEncoderLayer
+        )
+
+        output = src
+        for i in range(self.num_encoder_layers):
+            if self.use_fusion_layer:
+                output, memory_text = fusion_cls(
+                    v_dim=self.d_model, l_dim=self.d_model,
+                    embed_dim=self.dim_feedforward // 2, num_heads=self.nhead // 2,
+                    name=f"fusion_{i}",
+                )(output, memory_text, key_padding_mask, text_pad)
+            if self.use_text_enhancer:
+                memory_text = TextEnhancerLayer(
+                    d_model=self.d_model, nhead=self.nhead // 2,
+                    dim_feedforward=self.dim_feedforward // 2,
+                    name=f"text_layer_{i}",
+                )(
+                    memory_text,
+                    text_dict["text_self_attention_masks"],
+                    text_dict["position_ids"],
+                )
+            output = enc_cls(
+                d_model=self.d_model, d_ffn=self.dim_feedforward,
+                n_levels=self.num_feature_levels, n_heads=self.nhead,
+                n_points=self.enc_n_points, msda_impl=self.msda_impl,
+                spatial_shapes=shapes, name=f"enc_layer_{i}",
+            )(output, pos, reference_points, key_padding_mask)
+        return output, memory_text
+
+    # ------------------------------------------------------------------
+    def _decode(
+        self, tgt, refpoints_unsig, memory, memory_mask, valid_ratios, shapes,
+        memory_text, text_dict,
+    ):
+        """Returns (hs, outputs_coord, ref_points):
+          hs[i]            — normed layer-i queries (for the class head),
+          outputs_coord[i] — sigmoid boxes = bbox_embed(hs[i]) + inv_sig(ref
+                             before layer i's update), the exact head math of
+                             reference groundingdino.py:320-329,
+          ref_points       — n_dec+1 reference boxes (refinement chain).
+        The refinement MLP and the prediction head share weights
+        (dec_pred_bbox_embed_share=True, reference groundingdino.py:173-182):
+        both are this single `bbox_embed` module.
+        """
+        text_pad = ~text_dict["text_token_mask"]
+        reference_points = jax.nn.sigmoid(refpoints_unsig)
+
+        # shared-across-layers modules (instantiated once)
+        ref_point_head = MLP(self.d_model, self.d_model, 2, name="ref_point_head")
+        bbox_embed = MLP(self.d_model, 4, 3, name="bbox_embed")
+        dec_norm = nn.LayerNorm(name="dec_norm")
+
+        intermediate = []
+        outputs_coord = []
+        ref_points = [reference_points]
+
+        output = tgt
+        for i in range(self.num_decoder_layers):
+            ref_before = reference_points  # detached
+            # the head sees the *un-detached* previous reference so gradients
+            # reach the previous layer's delta (reference groundingdino.py:326
+            # uses reference[:-1][i] from the undetached ref_points list)
+            head_ref = ref_points[i]
+            ref_input = (
+                ref_before[:, :, None]
+                * jnp.concatenate([valid_ratios, valid_ratios], -1)[:, None]
+            )  # (B, Q, NL, 4)
+            query_sine = gen_sineembed_for_position(ref_input[:, :, 0, :]).astype(
+                output.dtype
+            )
+            query_pos = ref_point_head(query_sine)
+
+            output = DeformableDecoderLayer(
+                d_model=self.d_model, d_ffn=self.dim_feedforward,
+                n_levels=self.num_feature_levels, n_heads=self.nhead,
+                n_points=self.dec_n_points,
+                use_text_cross_attention=self.use_text_cross_attention,
+                msda_impl=self.msda_impl, spatial_shapes=shapes,
+                name=f"dec_layer_{i}",
+            )(
+                output, query_pos, ref_input, memory, memory_mask,
+                memory_text, text_pad,
+            )
+
+            # refinement on the raw output (reference transformer.py:728-733)
+            delta = bbox_embed(output.astype(jnp.float32))
+            new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref_before))
+            reference_points = jax.lax.stop_gradient(new_ref)
+            ref_points.append(new_ref)
+
+            hs_i = dec_norm(output.astype(jnp.float32))
+            intermediate.append(hs_i)
+            # prediction head on the normed output with the same shared MLP
+            coord = jax.nn.sigmoid(bbox_embed(hs_i) + inverse_sigmoid(head_ref))
+            outputs_coord.append(coord)
+
+        return intermediate, outputs_coord, ref_points

@@ -37,7 +37,7 @@ def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray):
 
     lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
     rb = jnp.minimum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
-    wh = jnp.clip(rb - lt, a_min=0)
+    wh = jnp.clip(rb - lt, min=0)
     inter = wh[..., 0] * wh[..., 1]
 
     union = area1[..., :, None] + area2[..., None, :] - inter
@@ -56,7 +56,7 @@ def generalized_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray
 
     lt = jnp.minimum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
     rb = jnp.maximum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
-    wh = jnp.clip(rb - lt, a_min=0)
+    wh = jnp.clip(rb - lt, min=0)
     area = wh[..., 0] * wh[..., 1]
 
     return iou - (area - union) / area
@@ -69,7 +69,7 @@ def box_iou_elementwise(boxes1: jnp.ndarray, boxes2: jnp.ndarray):
 
     lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
     rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
-    wh = jnp.clip(rb - lt, a_min=0)
+    wh = jnp.clip(rb - lt, min=0)
     inter = wh[..., 0] * wh[..., 1]
     union = area1 + area2 - inter
     return inter / union, union
@@ -80,6 +80,6 @@ def generalized_box_iou_elementwise(boxes1, boxes2):
     iou, union = box_iou_elementwise(boxes1, boxes2)
     lt = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
     rb = jnp.maximum(boxes1[..., 2:], boxes2[..., 2:])
-    wh = jnp.clip(rb - lt, a_min=0)
+    wh = jnp.clip(rb - lt, min=0)
     area = wh[..., 0] * wh[..., 1]
     return iou - (area - union) / area

@@ -7,8 +7,8 @@ import jax.numpy as jnp
 def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
     """Logit with clamping, matching reference util/misc.py:614-618."""
     x = jnp.clip(x, 0.0, 1.0)
-    x1 = jnp.clip(x, a_min=eps)
-    x2 = jnp.clip(1.0 - x, a_min=eps)
+    x1 = jnp.clip(x, min=eps)
+    x2 = jnp.clip(1.0 - x, min=eps)
     return jnp.log(x1 / x2)
 
 

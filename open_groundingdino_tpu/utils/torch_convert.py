@@ -1,0 +1,112 @@
+"""PyTorch checkpoint -> JAX pytree converters.
+
+Converts published GroundingDINO checkpoints (torch `state_dict`s, e.g.
+groundingdino_swint_ogc.pth) into this framework's Flax parameter trees.
+Mirrors the reference's loading semantics: `clean_state_dict` strips DDP
+'module.' prefixes (reference util/utils.py:22-28) and loading is lenient.
+
+Each converter takes a flat {torch_key: np.ndarray} dict (already sliced to
+the submodule's prefix) and returns a nested Flax params dict.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:  # torch tensor (or ndarray) -> np.ndarray fp32
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    pl = len(prefix)
+    return {k[pl:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def linear(sd: Dict, key: str) -> Dict:
+    """torch nn.Linear -> flax nn.Dense (kernel transposed)."""
+    return {"kernel": _t(sd[f"{key}.weight"]).T, "bias": _t(sd[f"{key}.bias"])}
+
+
+def layernorm(sd: Dict, key: str) -> Dict:
+    return {"scale": _t(sd[f"{key}.weight"]), "bias": _t(sd[f"{key}.bias"])}
+
+
+def embedding(sd: Dict, key: str) -> Dict:
+    return {"embedding": _t(sd[f"{key}.weight"])}
+
+
+def conv2d(sd: Dict, key: str) -> Dict:
+    """torch nn.Conv2d (OIHW) -> flax nn.Conv (HWIO)."""
+    w = _t(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)
+    out = {"kernel": w}
+    if f"{key}.bias" in sd:
+        out["bias"] = _t(sd[f"{key}.bias"])
+    return out
+
+
+def convert_swin_state_dict(sd: Dict[str, np.ndarray], depths, out_indices) -> Dict:
+    """Swin backbone state_dict (keys like 'patch_embed.proj.weight',
+    'layers.0.blocks.1.attn.qkv.weight') -> models/swin.SwinTransformer
+    params.  Buffers (relative_position_index, attn_mask) are recomputed
+    statically and skipped."""
+    p: Dict = {
+        "patch_embed": conv2d(sd, "patch_embed.proj"),
+        "patch_norm": layernorm(sd, "patch_embed.norm"),
+    }
+    for i, depth in enumerate(depths):
+        for b in range(depth):
+            pre = f"layers.{i}.blocks.{b}"
+            p[f"layer_{i}_block_{b}"] = {
+                "norm1": layernorm(sd, f"{pre}.norm1"),
+                "attn": {
+                    "qkv": linear(sd, f"{pre}.attn.qkv"),
+                    "proj": linear(sd, f"{pre}.attn.proj"),
+                    "relative_position_bias_table": _t(
+                        sd[f"{pre}.attn.relative_position_bias_table"]
+                    ),
+                },
+                "norm2": layernorm(sd, f"{pre}.norm2"),
+                "fc1": linear(sd, f"{pre}.mlp.fc1"),
+                "fc2": linear(sd, f"{pre}.mlp.fc2"),
+            }
+        if i < len(depths) - 1:
+            p[f"downsample_{i}"] = {
+                "norm": layernorm(sd, f"layers.{i}.downsample.norm"),
+                "reduction": {
+                    "kernel": _t(sd[f"layers.{i}.downsample.reduction.weight"]).T
+                },
+            }
+    for i in out_indices:
+        p[f"out_norm_{i}"] = layernorm(sd, f"norm{i}")
+    return p
+
+
+def convert_bert_state_dict(sd: Dict[str, np.ndarray], num_layers: int = 12) -> Dict:
+    """HF BertModel state_dict (keys like 'embeddings.word_embeddings.weight',
+    'encoder.layer.0.attention.self.query.weight') -> models/bert.BertModel
+    params."""
+    p: Dict = {
+        "embeddings": {
+            "word_embeddings": embedding(sd, "embeddings.word_embeddings"),
+            "position_embeddings": embedding(sd, "embeddings.position_embeddings"),
+            "token_type_embeddings": embedding(sd, "embeddings.token_type_embeddings"),
+            "ln": layernorm(sd, "embeddings.LayerNorm"),
+        }
+    }
+    for i in range(num_layers):
+        pre = f"encoder.layer.{i}"
+        p[f"layer_{i}"] = {
+            "q": linear(sd, f"{pre}.attention.self.query"),
+            "k": linear(sd, f"{pre}.attention.self.key"),
+            "v": linear(sd, f"{pre}.attention.self.value"),
+            "attn_out": linear(sd, f"{pre}.attention.output.dense"),
+            "attn_ln": layernorm(sd, f"{pre}.attention.output.LayerNorm"),
+            "inter": linear(sd, f"{pre}.intermediate.dense"),
+            "out": linear(sd, f"{pre}.output.dense"),
+            "out_ln": layernorm(sd, f"{pre}.output.LayerNorm"),
+        }
+    return p

@@ -4,11 +4,22 @@ its distributed path is only testable on a real cluster)."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force the CPU backend even inside the axon-TPU container: the axon
+# sitecustomize pins JAX_PLATFORMS=axon when PALLAS_AXON_POOL_IPS is set
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# the axon sitecustomize may have programmatically pinned the platform;
+# override it before any backend initialization
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

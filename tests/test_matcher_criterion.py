@@ -1,0 +1,163 @@
+"""Matcher + criterion: assignment correctness vs scipy, loss sanity, and
+jit/grad compatibility of the pure_callback matching path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from open_groundingdino_tpu.models.criterion import SetCriterion, build_one_hot_targets
+from open_groundingdino_tpu.models.matcher import (
+    compute_cost_matrix,
+    hungarian_assign,
+)
+
+B, Q, G, T = 2, 12, 5, 16
+
+
+def _inputs(seed=0, n_valid=(3, 5)):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(B, Q, T).astype(np.float32) * 2
+    boxes = rng.uniform(0.2, 0.8, (B, Q, 4)).astype(np.float32) * np.asarray(
+        [1, 1, 0.3, 0.3], np.float32
+    )
+    gt_boxes = rng.uniform(0.2, 0.8, (B, G, 4)).astype(np.float32) * np.asarray(
+        [1, 1, 0.3, 0.3], np.float32
+    )
+    pos_maps = np.zeros((B, G, T), np.float32)
+    for b in range(B):
+        for g in range(G):
+            s = rng.randint(1, T - 2)
+            pos_maps[b, g, s : s + 2] = 1
+    valid = np.zeros((B, G), bool)
+    for b, n in enumerate(n_valid):
+        valid[b, :n] = True
+    return logits, boxes, gt_boxes, pos_maps, valid
+
+
+def _check_vs_scipy(src, Cn, valid, exact_indices):
+    """Device/callback result must reach scipy's optimal total cost."""
+    for b in range(Cn.shape[0]):
+        cols = np.nonzero(valid[b])[0]
+        if len(cols) == 0:
+            assert (src[b] == Cn.shape[1]).all()
+            continue
+        rows, cidx = linear_sum_assignment(Cn[b][:, cols])
+        opt = Cn[b][rows, cols[cidx]].sum()
+        got_rows = src[b][cols]
+        assert (got_rows < Cn.shape[1]).all()
+        got = Cn[b][got_rows, cols].sum()
+        # injective
+        assert len(set(got_rows.tolist())) == len(got_rows)
+        np.testing.assert_allclose(got, opt, rtol=1e-5, atol=1e-5)
+        if exact_indices:
+            expect = np.full(src.shape[1], Cn.shape[1], np.int32)
+            expect[cols[cidx]] = rows
+            np.testing.assert_array_equal(src[b], expect)
+
+
+def test_assignment_matches_scipy():
+    logits, boxes, gt_boxes, pos_maps, valid = _inputs()
+    C = compute_cost_matrix(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(gt_boxes),
+        jnp.asarray(pos_maps), jnp.asarray(valid),
+    )
+    Cn = np.asarray(C)
+    src_cb = np.asarray(hungarian_assign(C, jnp.asarray(valid), method="callback"))
+    _check_vs_scipy(src_cb, Cn, valid, exact_indices=True)
+    src_dev = np.asarray(hungarian_assign(C, jnp.asarray(valid), method="device"))
+    _check_vs_scipy(src_dev, Cn, valid, exact_indices=False)
+
+
+def test_device_lsap_random_matrices():
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        Qn, Gn = 40, rng.randint(1, 12)
+        cost = rng.randn(3, Qn, Gn).astype(np.float32) * 10
+        valid = rng.rand(3, Gn) > 0.3
+        src = np.asarray(
+            hungarian_assign(jnp.asarray(cost), jnp.asarray(valid), method="device")
+        )
+        _check_vs_scipy(src, cost, valid, exact_indices=False)
+        # sentinel on invalid slots
+        assert (src[~valid] == Qn).all()
+
+
+def test_one_hot_scatter():
+    _, _, _, pos_maps, valid = _inputs()
+    src = np.full((B, G), Q, np.int32)
+    src[0, :3] = [4, 7, 0]
+    src[1] = [1, 2, 3, 4, 5]
+    oh = np.asarray(
+        build_one_hot_targets(
+            jnp.asarray(src), jnp.asarray(pos_maps), jnp.asarray(valid), Q
+        )
+    )
+    np.testing.assert_array_equal(oh[0, 4], pos_maps[0, 0])
+    np.testing.assert_array_equal(oh[0, 7], pos_maps[0, 1])
+    np.testing.assert_array_equal(oh[0, 0], pos_maps[0, 2])
+    # invalid GT rows contribute nothing
+    assert oh[0].sum() == pos_maps[0, :3].sum()
+    assert oh[1].sum() == pos_maps[1].sum()
+
+
+def _outputs_from(logits, boxes):
+    return {
+        "pred_logits": jnp.asarray(logits),
+        "pred_boxes": jnp.asarray(boxes),
+        "text_mask": jnp.ones((B, T), bool),
+        "aux_outputs": [
+            {"pred_logits": jnp.asarray(logits), "pred_boxes": jnp.asarray(boxes)}
+        ],
+        "interm_outputs": {
+            "pred_logits": jnp.asarray(logits),
+            "pred_boxes": jnp.asarray(boxes),
+        },
+    }
+
+
+def test_perfect_predictions_low_loss():
+    crit = SetCriterion(num_queries=Q)
+    _, _, gt_boxes, pos_maps, valid = _inputs()
+    # construct predictions equal to GT with confident logits on GT tokens
+    logits = np.full((B, Q, T), -20.0, np.float32)
+    boxes = np.tile(gt_boxes[:, :1], (1, Q, 1)).copy()
+    boxes[:, :G] = gt_boxes
+    for b in range(B):
+        for g in range(G):
+            if valid[b, g]:
+                logits[b, g] = np.where(pos_maps[b, g] > 0, 20.0, -20.0)
+    total, losses = crit(
+        _outputs_from(logits, boxes), jnp.asarray(gt_boxes),
+        jnp.asarray(pos_maps), jnp.asarray(valid),
+    )
+    assert float(losses["loss_bbox"]) < 1e-6
+    assert float(losses["loss_giou"]) < 1e-5
+    assert float(losses["loss_ce"]) < 1e-3
+    assert float(total) < 1e-2
+
+
+def test_criterion_jit_and_grad():
+    crit = SetCriterion(num_queries=Q)
+    logits, boxes, gt_boxes, pos_maps, valid = _inputs(3)
+
+    @jax.jit
+    def loss_fn(lg, bx):
+        total, _ = crit(
+            _outputs_from(lg, bx), jnp.asarray(gt_boxes),
+            jnp.asarray(pos_maps), jnp.asarray(valid),
+        )
+        return total
+
+    g_lg, g_bx = jax.grad(lambda a, b: loss_fn(a, b), argnums=(0, 1))(
+        jnp.asarray(logits), jnp.asarray(boxes)
+    )
+    assert np.isfinite(np.asarray(g_lg)).all()
+    assert np.isfinite(np.asarray(g_bx)).all()
+    # improving predictions lowers loss
+    l0 = float(loss_fn(jnp.asarray(logits), jnp.asarray(boxes)))
+    l1 = float(
+        loss_fn(
+            jnp.asarray(logits) - 0.5 * g_lg, jnp.asarray(boxes) - 0.05 * g_bx
+        )
+    )
+    assert l1 < l0
