@@ -1,0 +1,191 @@
+"""Batch assembly + input pipeline.
+
+Turns host-side Samples into the model's static-shape numpy batch:
+bucket-padded images, fixed-width tokenized captions with sub-sentence
+masks, GT padded to max_gt with per-GT token positive maps.  This is the
+TPU replacement for the reference's collate_fn/NestedTensor
+(util/misc.py:285-397) + the host parts of the criterion
+(groundingdino.py:535-547).
+
+Distributed input: `shard_iter` slices the dataset by process the way
+DistributedSampler does (main.py:316-323); a background thread double-buffers
+batches ahead of the device.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .tokenization import (
+    BertWordPieceTokenizer,
+    build_label_maps,
+    generate_masks_with_special_tokens,
+)
+from .transforms import Bucketer, Sample, boxes_to_cxcywh_norm, normalize_image
+
+
+class Collator:
+    def __init__(
+        self,
+        tokenizer: BertWordPieceTokenizer,
+        buckets: Sequence,
+        max_text_len: int = 256,
+        max_gt: int = 128,
+    ):
+        self.tokenizer = tokenizer
+        self.bucketer = Bucketer(buckets)
+        self.max_text_len = max_text_len
+        self.max_gt = max_gt
+        self.special_ids = tokenizer.special_token_ids()
+
+    def __call__(self, samples: List[Sample]) -> Dict[str, np.ndarray]:
+        B = len(samples)
+        images = [normalize_image(s.image) for s in samples]
+        batch_images, image_sizes = self.bucketer.pad_batch(images)
+
+        captions = [s.caption for s in samples]
+        tok = self.tokenizer(captions, padding=self.max_text_len)
+        attn_mask, position_ids = generate_masks_with_special_tokens(
+            tok.input_ids, self.special_ids
+        )
+        label_maps = build_label_maps(
+            tok,
+            [s.cap_list for s in samples],
+            captions,
+            self.max_text_len,
+        )  # list of (n_cats, T)
+
+        G = self.max_gt
+        gt_boxes = np.zeros((B, G, 4), np.float32)
+        gt_pos_maps = np.zeros((B, G, self.max_text_len), np.float32)
+        gt_valid = np.zeros((B, G), bool)
+        for b, s in enumerate(samples):
+            h, w = s.image.size[1], s.image.size[0]
+            n = min(len(s.boxes), G)
+            if n == 0:
+                continue
+            gt_boxes[b, :n] = boxes_to_cxcywh_norm(s.boxes[:n], h, w)
+            rows = label_maps[b][s.labels[:n]]
+            gt_pos_maps[b, :n] = rows
+            # a GT whose label found no tokens can never be matched usefully;
+            # keep it valid for box losses exactly like the reference does.
+            gt_valid[b, :n] = True
+
+        return {
+            "images": batch_images,
+            "image_sizes": image_sizes,
+            "input_ids": tok.input_ids,
+            "text_token_mask": tok.attention_mask.astype(bool),
+            "position_ids": position_ids.astype(np.int32),
+            "text_self_attention_masks": attn_mask,
+            "gt_boxes": gt_boxes,
+            "gt_pos_maps": gt_pos_maps,
+            "gt_valid": gt_valid,
+            # eval-side metadata (host only, not fed to jit)
+            "image_ids": np.asarray([s.image_id for s in samples], np.int64),
+            "orig_sizes": np.asarray([s.orig_size for s in samples], np.int64),
+            "label_maps": label_maps,
+        }
+
+
+def shard_iter(
+    n: int,
+    process_index: int,
+    process_count: int,
+    shuffle: bool,
+    seed: int,
+    drop_last: bool = True,
+) -> List[int]:
+    """Per-process index list, DistributedSampler semantics: pad to a
+    multiple of process_count by wrapping, then stride."""
+    idx = np.arange(n)
+    if shuffle:
+        idx = np.random.RandomState(seed).permutation(n)
+    if n % process_count != 0:
+        pad = process_count - n % process_count
+        idx = np.concatenate([idx, idx[:pad]])
+    return idx[process_index::process_count].tolist()
+
+
+class DataLoader:
+    """Minimal multi-threaded prefetching loader (no torch dependency)."""
+
+    def __init__(
+        self,
+        dataset,
+        collator: Collator,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        num_threads: int = 4,
+        prefetch: int = 2,
+        drop_last: Optional[bool] = None,
+    ):
+        self.dataset = dataset
+        self.collator = collator
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.drop_last = drop_last if drop_last is not None else shuffle
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(
+            shard_iter(len(self.dataset), self.process_index, self.process_count,
+                       False, 0)
+        )
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = shard_iter(
+            len(self.dataset), self.process_index, self.process_count,
+            self.shuffle, self.seed + self.epoch,
+        )
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    samples = [self.dataset[i] for i in batch_idx]
+                    out_q.put(self.collator(samples))
+            except Exception as e:  # surface loader errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

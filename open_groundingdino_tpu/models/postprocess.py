@@ -1,0 +1,132 @@
+"""PostProcess: model outputs -> COCO-style detections.
+
+Reference groundingdino.py:642-723: sigmoid token logits, project to class
+probabilities through the (row-normalized) label positive map, top-num_select
+over (query x class), cxcywh -> xyxy scaled to the original size, optional
+class-agnostic NMS.
+
+The token->class projection and top-k run on device (jit-friendly); the
+positive map comes from the host tokenizer.  COCO 80->91 category-id
+remapping lives here like the reference (:661-666).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import box_ops
+
+COCO_ID_MAP = {i: cid for i, cid in enumerate(
+    [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+     22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42,
+     43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61,
+     62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84,
+     85, 86, 87, 88, 89, 90]
+)}
+
+
+def normalize_pos_map(pos_map: np.ndarray) -> np.ndarray:
+    """Row-normalize a (n_classes, T) positive map (rows with zero sum stay
+    zero), reference groundingdino.py:687-689."""
+    s = pos_map.sum(-1, keepdims=True)
+    return np.where(s > 0, pos_map / np.maximum(s, 1e-12), 0.0)
+
+
+def postprocess(
+    pred_logits: jnp.ndarray,   # (B, Q, T)
+    pred_boxes: jnp.ndarray,    # (B, Q, 4) cxcywh
+    pos_map: jnp.ndarray,       # (C, T) row-normalized class->token map
+    target_sizes: jnp.ndarray,  # (B, 2) (h, w) original sizes
+    num_select: int = 300,
+):
+    """Returns (scores (B, K), labels (B, K), boxes_xyxy (B, K, 4))."""
+    prob_token = jax.nn.sigmoid(pred_logits.astype(jnp.float32))
+    # -inf logits on padded text sigmoid to 0; the projection is a matmul
+    prob_label = prob_token @ pos_map.T.astype(jnp.float32)  # (B, Q, C)
+    B, Q, C = prob_label.shape
+
+    flat = prob_label.reshape(B, Q * C)
+    scores, idx = jax.lax.top_k(flat, num_select)
+    topk_boxes = idx // C
+    labels = idx % C
+
+    boxes = box_ops.box_cxcywh_to_xyxy(pred_boxes.astype(jnp.float32))
+    boxes = jnp.take_along_axis(boxes, topk_boxes[..., None], axis=1)
+    h, w = target_sizes[:, 0], target_sizes[:, 1]
+    scale = jnp.stack([w, h, w, h], axis=1).astype(jnp.float32)
+    boxes = boxes * scale[:, None, :]
+    return scores, labels, boxes
+
+
+def nms_numpy(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """Greedy class-agnostic NMS (host-side, eval only)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        rest = order[~suppressed[order]]
+        if len(rest) == 0:
+            break
+        xx0 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        yy0 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        xx1 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        yy1 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.clip(xx1 - xx0, 0, None) * np.clip(yy1 - yy0, 0, None)
+        a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        b = (boxes[rest, 2] - boxes[rest, 0]) * (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / np.maximum(a + b - inter, 1e-12)
+        suppressed[rest[iou > iou_threshold]] = True
+    return np.asarray(keep, np.int64)
+
+
+class PostProcess:
+    """Host wrapper binding a fixed category list (builds the positive map
+    once, like reference PostProcess.__init__:644-670)."""
+
+    def __init__(
+        self,
+        tokenizer,
+        cat_list: Sequence[str],
+        num_select: int = 300,
+        max_text_len: int = 256,
+        nms_iou_threshold: float = -1.0,
+        coco_id_remap: bool = False,
+    ):
+        from ..data.tokenization import build_caption, create_positive_map
+
+        caption = build_caption(cat_list)
+        tok = tokenizer([caption], padding=max_text_len)
+        pm = create_positive_map(
+            tok, 0, list(range(len(cat_list))), cat_list, caption, max_text_len
+        )
+        if coco_id_remap:
+            new_pm = np.zeros((91, max_text_len), np.float32)
+            for i in range(len(cat_list)):
+                new_pm[COCO_ID_MAP[i]] = pm[i]
+            pm = new_pm
+        self.pos_map = normalize_pos_map(pm)
+        self.caption = caption
+        self.tokenized = tok
+        self.num_select = num_select
+        self.nms_iou_threshold = nms_iou_threshold
+
+    def __call__(self, outputs: Dict, target_sizes: np.ndarray) -> List[Dict]:
+        scores, labels, boxes = postprocess(
+            outputs["pred_logits"], outputs["pred_boxes"],
+            jnp.asarray(self.pos_map), jnp.asarray(target_sizes),
+            self.num_select,
+        )
+        scores, labels, boxes = map(np.asarray, (scores, labels, boxes))
+        results = []
+        for s, l, b in zip(scores, labels, boxes):
+            if self.nms_iou_threshold > 0:
+                keep = nms_numpy(b, s, self.nms_iou_threshold)
+                s, l, b = s[keep], l[keep], b[keep]
+            results.append({"scores": s, "labels": l, "boxes": b})
+        return results

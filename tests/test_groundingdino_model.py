@@ -1,0 +1,113 @@
+"""End-to-end model integration: tiny GroundingDINO forward shapes, loss +
+gradient through the full stack (backbone -> fusion encoder -> two-stage ->
+decoder -> criterion with device-side Hungarian matching)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_groundingdino_tpu.models.bert import BertConfig
+from open_groundingdino_tpu.models.criterion import SetCriterion
+from open_groundingdino_tpu.models.groundingdino import GroundingDINO
+from open_groundingdino_tpu.models.swin import SwinConfig
+
+B, T, QN, G = 2, 16, 20, 4
+IMG_H, IMG_W = 64, 96
+
+TINY_SWIN = SwinConfig(
+    embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 4), window_size=4,
+    out_indices=(1, 2, 3),
+)
+TINY_BERT = BertConfig(
+    vocab_size=60, hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+    intermediate_size=32, max_position_embeddings=32,
+    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = GroundingDINO(
+        swin_cfg=TINY_SWIN,
+        bert_cfg=TINY_BERT,
+        hidden_dim=32,
+        num_queries=QN,
+        nheads=4,
+        num_feature_levels=4,
+        enc_layers=2,
+        dec_layers=2,
+        dim_feedforward=64,
+        max_text_len=T,
+    )
+    batch = _batch()
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    return model, params, batch
+
+
+def _batch(seed=0):
+    rng = np.random.RandomState(seed)
+    images = jnp.asarray(rng.randn(B, IMG_H, IMG_W, 3).astype(np.float32))
+    image_sizes = jnp.asarray([[64, 96], [48, 80]], jnp.int32)
+    input_ids = jnp.asarray(rng.randint(5, 60, size=(B, T)), jnp.int32)
+    text_token_mask = jnp.asarray(
+        np.arange(T)[None, :] < np.asarray([[T], [10]]), bool
+    )
+    position_ids = jnp.asarray(np.tile(np.arange(T)[None], (B, 1)), jnp.int32)
+    sam = np.tile(np.eye(T, dtype=bool)[None], (B, 1, 1))
+    sam[:, 1:6, 1:6] = True
+    return dict(
+        images=images,
+        image_sizes=image_sizes,
+        input_ids=input_ids,
+        text_token_mask=text_token_mask,
+        position_ids=position_ids,
+        text_self_attention_masks=jnp.asarray(sam),
+    )
+
+
+def test_forward_shapes(model_and_params):
+    model, params, batch = model_and_params
+    out = model.apply(params, **batch)
+    assert out["pred_logits"].shape == (B, QN, T)
+    assert out["pred_boxes"].shape == (B, QN, 4)
+    assert len(out["aux_outputs"]) == 1  # dec_layers - 1
+    assert out["interm_outputs"]["pred_logits"].shape == (B, QN, T)
+    assert out["interm_outputs"]["pred_boxes"].shape == (B, QN, 4)
+    # boxes are sigmoid-space
+    pb = np.asarray(out["pred_boxes"])
+    assert (pb >= 0).all() and (pb <= 1).all()
+    # padded text positions have -inf logits
+    lg = np.asarray(out["pred_logits"])
+    assert np.isneginf(lg[1, :, 10:]).all()
+    assert np.isfinite(lg[1, :, :10]).all()
+
+
+def test_loss_and_grad(model_and_params):
+    model, params, batch = model_and_params
+    rng = np.random.RandomState(1)
+    gt_boxes = jnp.asarray(
+        rng.uniform(0.3, 0.6, (B, G, 4)).astype(np.float32)
+        * np.asarray([1, 1, 0.3, 0.3], np.float32)
+    )
+    pos_maps = np.zeros((B, G, T), np.float32)
+    pos_maps[:, :, 2:4] = 1
+    gt_valid = jnp.asarray(np.asarray([[True] * 3 + [False], [True] * 4]))
+
+    crit = SetCriterion(num_queries=QN)
+
+    @jax.jit
+    def loss_fn(p):
+        out = model.apply(p, **batch)
+        total, losses = crit(out, gt_boxes, jnp.asarray(pos_maps), gt_valid)
+        return total, losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    assert "loss_ce_interm" in losses and "loss_giou_0" in losses
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # some gradient must reach the backbone, bert and fusion
+    p = grads["params"]
+    assert np.abs(np.asarray(p["backbone"]["layer_0_block_0"]["fc1"]["kernel"])).sum() > 0
+    assert np.abs(np.asarray(p["bert"]["layer_0"]["q"]["kernel"])).sum() > 0
+    assert np.abs(np.asarray(p["feat_map"]["kernel"])).sum() > 0
