@@ -1,0 +1,145 @@
+"""COCO bbox evaluator: analytic scenarios with hand-computable AP."""
+import numpy as np
+
+from open_groundingdino_tpu.data.coco import CocoIndex
+from open_groundingdino_tpu.eval.coco_eval import CocoBboxEvaluator, bbox_iou_xywh
+
+
+def _mk_index(anns, imgs=(1, 2), cats=(1,)):
+    ds = {
+        "images": [{"id": i, "width": 640, "height": 480} for i in imgs],
+        "categories": [{"id": c, "name": f"c{c}"} for c in cats],
+        "annotations": [
+            {
+                "id": k + 1,
+                "image_id": a[0],
+                "category_id": a[1],
+                "bbox": list(a[2]),
+                "area": a[2][2] * a[2][3],
+                "iscrowd": a[3] if len(a) > 3 else 0,
+            }
+            for k, a in enumerate(anns)
+        ],
+    }
+    return CocoIndex(dataset=ds)
+
+
+def test_iou_xywh():
+    det = np.asarray([[0, 0, 10, 10]], np.float64)
+    gt = np.asarray([[0, 0, 10, 10], [5, 5, 10, 10]], np.float64)
+    iou = bbox_iou_xywh(det, gt, np.zeros(2))
+    np.testing.assert_allclose(iou[0, 0], 1.0)
+    np.testing.assert_allclose(iou[0, 1], 25.0 / 175.0)
+
+
+def test_perfect_predictions_ap1():
+    anns = [(1, 1, (10, 10, 50, 60)), (1, 1, (200, 100, 40, 40)), (2, 1, (5, 5, 30, 30))]
+    ev = CocoBboxEvaluator(_mk_index(anns))
+    preds = {
+        1: {
+            "scores": np.asarray([0.9, 0.8]),
+            "labels": np.asarray([1, 1]),
+            "boxes": np.asarray([[10, 10, 60, 70], [200, 100, 240, 140]], np.float64),
+        },
+        2: {
+            "scores": np.asarray([0.95]),
+            "labels": np.asarray([1]),
+            "boxes": np.asarray([[5, 5, 35, 35]], np.float64),
+        },
+    }
+    ev.update(preds)
+    ev.accumulate()
+    stats = ev.summarize()
+    assert abs(stats["AP"] - 1.0) < 1e-6
+    assert abs(stats["AP50"] - 1.0) < 1e-6
+    assert abs(stats["AR100"] - 1.0) < 1e-6
+
+
+def test_half_detections():
+    """2 GT, 1 perfect detection, no second detection: AP is the precision
+    envelope over recall [0, 0.5] => ~0.5 (101-pt: recall points <= 0.5 get
+    precision 1)."""
+    anns = [(1, 1, (10, 10, 50, 60)), (1, 1, (200, 100, 40, 40))]
+    ev = CocoBboxEvaluator(_mk_index(anns, imgs=(1,)))
+    ev.update(
+        {
+            1: {
+                "scores": np.asarray([0.9]),
+                "labels": np.asarray([1]),
+                "boxes": np.asarray([[10, 10, 60, 70]], np.float64),
+            }
+        }
+    )
+    ev.accumulate()
+    stats = ev.summarize()
+    # recall points 0.0..0.5 inclusive = 51 of 101 get precision 1
+    assert abs(stats["AP"] - 51 / 101) < 1e-6
+    assert abs(stats["AR100"] - 0.5) < 1e-6
+
+
+def test_false_positive_ordering():
+    """High-scoring FP before the TP halves early precision."""
+    anns = [(1, 1, (10, 10, 50, 60))]
+    ev = CocoBboxEvaluator(_mk_index(anns, imgs=(1,)))
+    ev.update(
+        {
+            1: {
+                "scores": np.asarray([0.95, 0.9]),
+                "labels": np.asarray([1, 1]),
+                "boxes": np.asarray(
+                    [[400, 400, 440, 440], [10, 10, 60, 70]], np.float64
+                ),
+            }
+        }
+    )
+    ev.accumulate()
+    stats = ev.summarize()
+    # single TP at rank 2: precision at all recalls = 1/2
+    assert abs(stats["AP"] - 0.5) < 1e-6
+
+
+def test_crowd_ignored():
+    """Detections matching only a crowd GT are ignored, not FP; with no
+    non-ignored GT in that image, AP comes from image 2 alone."""
+    anns = [(1, 1, (10, 10, 100, 100), 1), (2, 1, (5, 5, 30, 30))]
+    ev = CocoBboxEvaluator(_mk_index(anns))
+    ev.update(
+        {
+            1: {
+                "scores": np.asarray([0.99]),
+                "labels": np.asarray([1]),
+                "boxes": np.asarray([[10, 10, 110, 110]], np.float64),
+            },
+            2: {
+                "scores": np.asarray([0.9]),
+                "labels": np.asarray([1]),
+                "boxes": np.asarray([[5, 5, 35, 35]], np.float64),
+            },
+        }
+    )
+    ev.accumulate()
+    stats = ev.summarize()
+    assert abs(stats["AP"] - 1.0) < 1e-6
+
+
+def test_iou_threshold_sweep():
+    """A detection with IoU 0.6 counts for thresholds .5/.55/.6 only ->
+    AP = 3/10."""
+    anns = [(1, 1, (0, 0, 100, 100))]
+    ev = CocoBboxEvaluator(_mk_index(anns, imgs=(1,)))
+    # shift box to get IoU = 0.6: overlap/(union)=0.6 with same size:
+    # shift x by d: inter=100-d x 100, union=(100+d)x100 => (100-d)/(100+d)=0.6 -> d=25
+    ev.update(
+        {
+            1: {
+                "scores": np.asarray([0.9]),
+                "labels": np.asarray([1]),
+                "boxes": np.asarray([[25, 0, 125, 100]], np.float64),
+            }
+        }
+    )
+    ev.accumulate()
+    stats = ev.summarize()
+    assert abs(stats["AP"] - 0.3) < 1e-6
+    assert abs(stats["AP50"] - 1.0) < 1e-6
+    assert abs(stats["AP75"] - 0.0) < 1e-6
