@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Throughput benchmark: Swin-T GroundingDINO zero-shot forward,
+COCO-eval-shaped inputs (800x1216 bucket, 256-token caption), bf16 compute.
+
+Prints ONE JSON line:
+  {"metric": "COCO val2017 images/sec/chip (Swin-T)", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline is relative to the reference PyTorch implementation on A100
+(~9 images/sec at the same eval resolution — BASELINE.md's implied
+tools/benchmark.py number; the repo publishes no official throughput, so the
+constant is documented here and kept fixed across rounds for comparability).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+A100_BASELINE_IPS = 9.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from open_groundingdino_tpu.models.bert import BertConfig
+    from open_groundingdino_tpu.models.groundingdino import GroundingDINO
+    from open_groundingdino_tpu.models.swin import SwinConfig
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        B, H, W, T = 4, 800, 1216, 256
+        iters, warmup = 20, 3
+    else:  # CPU smoke fallback so the line always prints
+        B, H, W, T = 1, 256, 320, 64
+        iters, warmup = 2, 1
+
+    model = GroundingDINO(
+        swin_cfg=SwinConfig.from_name("swin_T_224_1k"),
+        bert_cfg=BertConfig(),
+        hidden_dim=256, num_queries=900, nheads=8, num_feature_levels=4,
+        enc_layers=6, dec_layers=6, dim_feedforward=2048, max_text_len=T,
+        msda_impl="xla",
+    )
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1000, 20000, size=(B, T)).astype(np.int32)
+    ids[:, 0] = 101
+    ids[:, min(120, T - 1)] = 102
+    tmask = (np.arange(T)[None] < min(121, T)).repeat(B, 0)
+    sam = np.tile(np.eye(T, dtype=bool)[None], (B, 1, 1))
+    sam[:, 1 : min(120, T - 1), 1 : min(120, T - 1)] = True
+    inputs = dict(
+        images=rng.randn(B, H, W, 3).astype(np.float32),
+        image_sizes=np.asarray([[H, W]] * B, np.int32),
+        input_ids=ids,
+        text_token_mask=tmask,
+        position_ids=np.tile(np.arange(T, dtype=np.int32)[None], (B, 1)),
+        text_self_attention_masks=sam,
+    )
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+
+    # bf16 compute: cast params + images (master numerics stay in the
+    # checkpoint; decoder FFN/heads force fp32 internally)
+    if on_tpu:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params,
+        )
+        inputs["images"] = inputs["images"].astype(jnp.bfloat16)
+
+    @jax.jit
+    def fwd(variables, images, image_sizes, input_ids, text_token_mask,
+            position_ids, text_self_attention_masks):
+        out = model.apply(
+            variables, images=images, image_sizes=image_sizes,
+            input_ids=input_ids, text_token_mask=text_token_mask,
+            position_ids=position_ids,
+            text_self_attention_masks=text_self_attention_masks,
+        )
+        return out["pred_logits"], out["pred_boxes"]
+
+    args = (
+        params, jnp.asarray(inputs["images"]), jnp.asarray(inputs["image_sizes"]),
+        jnp.asarray(inputs["input_ids"]), jnp.asarray(inputs["text_token_mask"]),
+        jnp.asarray(inputs["position_ids"]),
+        jnp.asarray(inputs["text_self_attention_masks"]),
+    )
+
+    for _ in range(warmup):
+        out = fwd(*args)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ips = B * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "COCO val2017 images/sec/chip (Swin-T)",
+                "value": round(ips, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+#!/usr/bin/env python3
+"""Training/eval driver (reference main.py CLI surface, TPU-native runtime).
+
+    python main.py -c open_groundingdino_tpu/config/cfg_coco.py \
+        --datasets datasets.json --output_dir out [--eval] \
+        [--pretrain_model_path ckpt.pth] [--vocab vocab.txt] \
+        [--options lr=1e-4 batch_size=8]
+
+datasets.json manifest (reference config/datasets_mixed_odvg.json shape):
+    {"train": [{"root": ..., "anno": ..., "label_map": ..., "dataset_mode": "odvg"}],
+     "val":   [{"root": ..., "anno": ..., "dataset_mode": "coco"}]}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("GroundingDINO-TPU", add_help=False)
+    p.add_argument("--config_file", "-c", type=str, required=True)
+    p.add_argument("--options", nargs="+", default=None,
+                   help="override config keys: key=value ...")
+    p.add_argument("--datasets", type=str, help="dataset manifest json")
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--resume", default="", help="orbax checkpoint path")
+    p.add_argument("--pretrain_model_path", default="",
+                   help="torch .pth or orbax checkpoint to initialize from")
+    p.add_argument("--vocab", default="", help="bert vocab.txt path")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--debug", action="store_true",
+                   help="truncate loops after 15 iterations")
+    return p
+
+
+def build_datasets(manifest: dict, split: str, args, tokenizer):
+    from open_groundingdino_tpu.data.coco import CocoDetection
+    from open_groundingdino_tpu.data.odvg import ConcatDataset, ODVGDataset
+    from open_groundingdino_tpu.data.transforms import EvalTransform, TrainTransform
+
+    if split == "train":
+        tf = TrainTransform(
+            scales=args.data_aug_scales, max_size=args.data_aug_max_size,
+            scales2_resize=args.data_aug_scales2_resize,
+            scales2_crop=args.data_aug_scales2_crop,
+        )
+    else:
+        tf = EvalTransform(args.eval_shortest_edge, args.eval_max_size)
+
+    parts = []
+    for entry in manifest[split]:
+        mode = entry.get("dataset_mode", "coco")
+        if mode == "coco":
+            parts.append(CocoDetection(entry["root"], entry["anno"], transform=tf))
+        elif mode == "odvg":
+            parts.append(
+                ODVGDataset(
+                    entry["root"], entry["anno"], entry.get("label_map"),
+                    max_labels=args.max_labels, transform=tf,
+                )
+            )
+        else:
+            raise ValueError(f"unknown dataset_mode {mode}")
+    return parts[0] if len(parts) == 1 else ConcatDataset(parts)
+
+
+def main(cli):
+    from open_groundingdino_tpu.config import SLConfig
+    from open_groundingdino_tpu.config.slconfig import parse_override_value
+    from open_groundingdino_tpu.data.loader import Collator, DataLoader
+    from open_groundingdino_tpu.data.tokenization import BertWordPieceTokenizer
+    from open_groundingdino_tpu.engine import evaluate_coco, train_one_epoch
+    from open_groundingdino_tpu.models.criterion import SetCriterion
+    from open_groundingdino_tpu.models.groundingdino import build_groundingdino
+    from open_groundingdino_tpu.models.postprocess import PostProcess
+    from open_groundingdino_tpu.parallel.mesh import make_mesh, replicate_tree
+    from open_groundingdino_tpu.parallel.optim import make_lr_schedule, make_optimizer
+    from open_groundingdino_tpu.parallel.train_state import (
+        TrainState, make_eval_step, make_train_step,
+    )
+    from open_groundingdino_tpu.utils import checkpoint as ckpt_utils
+    from open_groundingdino_tpu.utils.logger import setup_logger
+
+    if jax.process_count() > 1:
+        pass  # jax.distributed.initialize() must be called by the launcher
+
+    args = SLConfig.fromfile(cli.config_file)
+    if cli.options:
+        args.merge_from_dict(
+            {
+                kv.split("=", 1)[0]: parse_override_value(kv.split("=", 1)[1])
+                for kv in cli.options
+            }
+        )
+    os.makedirs(cli.output_dir, exist_ok=True)
+    args.dump(os.path.join(cli.output_dir, "config_cfg.py"))
+    logger = setup_logger(cli.output_dir, process_index=jax.process_index())
+    logger.info(f"devices: {jax.devices()}")
+    logger.info(f"config: {cli.config_file} output: {cli.output_dir}")
+
+    if not cli.vocab:
+        raise SystemExit("--vocab path to bert vocab.txt is required")
+    tokenizer = BertWordPieceTokenizer(cli.vocab)
+
+    model = build_groundingdino(args)
+    crit = SetCriterion(
+        num_queries=args.num_queries,
+        cost_class=args.set_cost_class, cost_bbox=args.set_cost_bbox,
+        cost_giou=args.set_cost_giou, cls_loss_coef=args.cls_loss_coef,
+        bbox_loss_coef=args.bbox_loss_coef, giou_loss_coef=args.giou_loss_coef,
+        interm_loss_coef=args.interm_loss_coef,
+        focal_alpha=args.focal_alpha, focal_gamma=args.focal_gamma,
+    )
+
+    with open(cli.datasets) as f:
+        manifest = json.load(f)
+
+    collator = Collator(
+        tokenizer, args.image_buckets, args.max_text_len, args.max_gt_boxes
+    )
+    mesh = make_mesh()
+    max_steps = 15 if cli.debug else None
+
+    # ---- initialize params -------------------------------------------------
+    val_dataset = build_datasets(manifest, "val", args, tokenizer)
+    sample_batch = collator([val_dataset[0]])
+    init_inputs = {
+        k: sample_batch[k]
+        for k in ("images", "image_sizes", "input_ids", "text_token_mask",
+                  "position_ids", "text_self_attention_masks")
+    }
+    if cli.pretrain_model_path.endswith((".pth", ".pt")):
+        from open_groundingdino_tpu.models.swin import SWIN_VARIANTS
+
+        sd = ckpt_utils.load_torch_state_dict(cli.pretrain_model_path)
+        params = ckpt_utils.convert_groundingdino_checkpoint(
+            sd,
+            swin_depths=tuple(SWIN_VARIANTS[args.backbone]["depths"]),
+            out_indices=tuple(args.return_interm_indices),
+            num_feature_levels=args.num_feature_levels,
+            enc_layers=args.enc_layers, dec_layers=args.dec_layers,
+        )
+        logger.info(f"loaded torch pretrain {cli.pretrain_model_path}")
+    else:
+        params = model.init(jax.random.PRNGKey(cli.seed), **init_inputs)["params"]
+        if cli.pretrain_model_path:
+            restored = ckpt_utils.restore_checkpoint(cli.pretrain_model_path)
+            params = restored.get("params", restored)
+
+    # ---- eval-only ----------------------------------------------------------
+    cat_list = getattr(val_dataset, "cat_list", None) or args.label_list
+    postprocessor = PostProcess(
+        tokenizer, cat_list, num_select=args.num_select,
+        max_text_len=args.max_text_len,
+        nms_iou_threshold=args.nms_iou_threshold,
+    )
+    eval_loader = DataLoader(
+        val_dataset, collator, batch_size=args.batch_size,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+        num_threads=cli.num_workers,
+    )
+    eval_step = jax.jit(make_eval_step(model))
+
+    if cli.eval:
+        params = replicate_tree(params, mesh)
+        stats = evaluate_coco(
+            eval_step, params, eval_loader, mesh, postprocessor,
+            val_dataset.coco, val_dataset.contiguous_to_catid, logger,
+            max_steps=max_steps,
+        )
+        with open(os.path.join(cli.output_dir, "eval_stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+        return
+
+    # ---- train ---------------------------------------------------------------
+    train_dataset = build_datasets(manifest, "train", args, tokenizer)
+    train_loader = DataLoader(
+        train_dataset, collator, batch_size=args.batch_size, shuffle=True,
+        seed=cli.seed, process_index=jax.process_index(),
+        process_count=jax.process_count(), num_threads=cli.num_workers,
+    )
+    steps_per_epoch = max(len(train_loader), 1)
+    schedule = make_lr_schedule(args, steps_per_epoch)
+    tx = make_optimizer(
+        params, lr=schedule, lr_backbone=float(args.lr_backbone),
+        lr_linear_proj_mult=float(args.lr_linear_proj_mult),
+        weight_decay=float(args.weight_decay),
+        clip_max_norm=float(args.clip_max_norm),
+        frozen_keys=tuple(args.freeze_keywords or ()),
+    )
+    state = TrainState.create(params, tx)
+
+    start_epoch = 0
+    resume_path = cli.resume or ckpt_utils.latest_checkpoint(cli.output_dir)
+    if resume_path:
+        restored = ckpt_utils.restore_checkpoint(
+            resume_path, {"state": jax.device_get(state), "epoch": 0}
+        )
+        state = restored["state"]
+        start_epoch = int(restored["epoch"]) + 1
+        logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
+
+    state = replicate_tree(state, mesh)
+    train_step = jax.jit(make_train_step(model, crit), donate_argnums=(0,))
+
+    for epoch in range(start_epoch, int(args.epochs)):
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        state, stats = train_one_epoch(
+            train_step, state, train_loader, mesh, epoch, logger,
+            max_steps=max_steps,
+        )
+        logger.info(f"epoch {epoch} train stats: {stats} ({time.time()-t0:.1f}s)")
+
+        if jax.process_index() == 0 and (
+            (epoch + 1) % int(args.save_checkpoint_interval) == 0
+            or epoch == int(args.epochs) - 1
+        ):
+            ckpt_utils.save_checkpoint(
+                cli.output_dir, epoch,
+                {"state": jax.device_get(state), "epoch": epoch},
+            )
+
+        eval_stats = evaluate_coco(
+            eval_step, state.params, eval_loader, mesh, postprocessor,
+            val_dataset.coco, val_dataset.contiguous_to_catid, logger,
+            max_steps=max_steps,
+        )
+        with open(os.path.join(cli.output_dir, "log.txt"), "a") as f:
+            f.write(json.dumps({"epoch": epoch, **stats, **eval_stats}) + "\n")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        "GroundingDINO-TPU training/eval", parents=[get_args_parser()]
+    )
+    main(parser.parse_args())

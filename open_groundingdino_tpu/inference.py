@@ -1,0 +1,174 @@
+"""Library inference API (reference groundingdino/util/inference.py:53-259).
+
+    model = load_model(cfg_path, checkpoint_path, vocab_path)
+    boxes, scores, phrases = predict(model, image, caption,
+                                     box_threshold=0.35, text_threshold=0.25)
+
+Images are resized shortest-edge 800 / max 1333 and bucket-padded; the
+forward is jit-cached per bucket.  Boxes return normalized cxcywh like the
+reference's `predict`.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .config import SLConfig
+from .data.tokenization import (
+    BertWordPieceTokenizer,
+    generate_masks_with_special_tokens,
+)
+from .data.transforms import Bucketer, EvalTransform, Sample, normalize_image
+from .models.groundingdino import build_groundingdino
+from .utils.checkpoint import (
+    convert_groundingdino_checkpoint,
+    load_torch_state_dict,
+    restore_checkpoint,
+)
+
+
+@dataclass
+class InferenceModel:
+    model: object
+    params: Dict
+    tokenizer: BertWordPieceTokenizer
+    args: SLConfig
+    bucketer: Bucketer = None
+    max_text_len: int = 256
+    _jitted: Dict = field(default_factory=dict)
+
+    def forward_fn(self):
+        model = self.model
+
+        @jax.jit
+        def fn(params, images, image_sizes, input_ids, text_token_mask,
+               position_ids, text_self_attention_masks):
+            out = model.apply(
+                {"params": params}, images=images, image_sizes=image_sizes,
+                input_ids=input_ids, text_token_mask=text_token_mask,
+                position_ids=position_ids,
+                text_self_attention_masks=text_self_attention_masks,
+            )
+            return {
+                "pred_logits": out["pred_logits"],
+                "pred_boxes": out["pred_boxes"],
+            }
+
+        return fn
+
+
+def load_model(
+    config_path: str,
+    checkpoint_path: Optional[str] = None,
+    vocab_path: Optional[str] = None,
+) -> InferenceModel:
+    args = SLConfig.fromfile(config_path)
+    model = build_groundingdino(args)
+
+    if vocab_path is None:
+        raise ValueError(
+            "vocab_path to a bert-base-uncased vocab.txt is required "
+            "(this framework ships its own WordPiece tokenizer)"
+        )
+    tokenizer = BertWordPieceTokenizer(vocab_path)
+
+    params = None
+    if checkpoint_path:
+        if checkpoint_path.endswith((".pth", ".pt")):
+            sd = load_torch_state_dict(checkpoint_path)
+            from .models.swin import SWIN_VARIANTS
+
+            depths = tuple(SWIN_VARIANTS[args.backbone]["depths"])
+            params = convert_groundingdino_checkpoint(
+                sd,
+                swin_depths=depths,
+                out_indices=tuple(args.return_interm_indices),
+                num_feature_levels=args.num_feature_levels,
+                enc_layers=args.enc_layers,
+                dec_layers=args.dec_layers,
+            )
+        else:
+            params = restore_checkpoint(checkpoint_path)
+            params = params.get("params", params)
+    if params is None:
+        raise ValueError("checkpoint_path required for inference")
+
+    return InferenceModel(
+        model=model,
+        params={"params": params}["params"],
+        tokenizer=tokenizer,
+        args=args,
+        bucketer=Bucketer(args.image_buckets),
+        max_text_len=args.max_text_len,
+    )
+
+
+def preprocess_caption(caption: str) -> str:
+    c = caption.lower().strip()
+    return c if c.endswith(".") else c + "."
+
+
+def predict(
+    im: InferenceModel,
+    image: Image.Image,
+    caption: str,
+    box_threshold: float = 0.35,
+    text_threshold: float = 0.25,
+    size: int = 800,
+    max_size: int = 1333,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Returns (boxes cxcywh normalized (N,4), scores (N,), phrases)."""
+    caption = preprocess_caption(caption)
+    sample = EvalTransform(size, max_size)(
+        Sample(image=image, boxes=np.zeros((0, 4), np.float32),
+               labels=np.zeros((0,), np.int64))
+    )
+    arr = normalize_image(sample.image)
+    images, image_sizes = im.bucketer.pad_batch([arr])
+
+    tok = im.tokenizer([caption], padding=im.max_text_len)
+    attn_mask, position_ids = generate_masks_with_special_tokens(
+        tok.input_ids, im.tokenizer.special_token_ids()
+    )
+
+    key = "fwd"
+    if key not in im._jitted:
+        im._jitted[key] = im.forward_fn()
+    out = im._jitted[key](
+        im.params,
+        jnp.asarray(images),
+        jnp.asarray(image_sizes),
+        jnp.asarray(tok.input_ids),
+        jnp.asarray(tok.attention_mask.astype(bool)),
+        jnp.asarray(position_ids.astype(np.int32)),
+        jnp.asarray(attn_mask),
+    )
+    logits = jax.nn.sigmoid(np.asarray(out["pred_logits"], np.float32))[0]
+    boxes = np.asarray(out["pred_boxes"], np.float32)[0]
+
+    valid_tokens = tok.attention_mask[0].astype(bool)
+    logits = np.where(valid_tokens[None, :], logits, 0.0)
+
+    max_logits = logits.max(axis=1)
+    keep = max_logits > box_threshold
+    boxes_k = boxes[keep]
+    logits_k = logits[keep]
+    scores = max_logits[keep]
+
+    phrases = []
+    for row in logits_k:
+        posmap = row > text_threshold
+        ids = tok.input_ids[0][posmap]
+        # drop special tokens from the phrase (reference get_phrases_from_posmap)
+        ids = [
+            i for i in ids.tolist()
+            if i not in (im.tokenizer.cls_token_id, im.tokenizer.sep_token_id)
+        ]
+        phrases.append(im.tokenizer.decode(ids))
+    return boxes_k, scores, phrases

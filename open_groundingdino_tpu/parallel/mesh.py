@@ -1,0 +1,46 @@
+"""Device mesh + sharding helpers.
+
+The reference's distributed runtime is DDP over NCCL (util/misc.py:520-558).
+The TPU-native equivalent is single-controller JAX: one
+jax.sharding.Mesh over all devices with the batch sharded on the 'data'
+axis and parameters replicated; XLA inserts the gradient all-reduce over
+ICI automatically when the jitted train step consumes sharded inputs.
+
+Multi-host: call jax.distributed.initialize() per host (initialize()
+no-ops on single host), shard input files by jax.process_index().
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """device_put every array on the data axis (first dim)."""
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if k in ("image_ids", "orig_sizes", "label_maps"):
+            continue  # host-side metadata
+        out[k] = jax.device_put(np.asarray(v), sh)
+    return out
+
+
+def replicate_tree(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))

@@ -1,0 +1,113 @@
+"""Optimizer construction: AdamW with the reference's parameter groups.
+
+Reference util/get_param_dicts.py 'ddetr_in_mmdet' mode (the one the configs
+use): backbone + text-encoder params at lr_backbone, linear-projection
+modules (ref_point_head, sampling_offsets) at lr * lr_linear_proj_mult,
+everything else at base lr; weight decay uniform; global-norm gradient clip
+(main.py clip_max_norm).  Realized as optax.multi_transform keyed by
+parameter path.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import optax
+
+
+def _label_for_path(path: str, backbone_keys: Sequence[str], proj_keys: Sequence[str]) -> str:
+    for k in backbone_keys:
+        if k in path:
+            return "backbone"
+    for k in proj_keys:
+        if k in path:
+            return "linear_proj"
+    return "base"
+
+
+def label_params(params, backbone_keys=("backbone", "bert"),
+                 proj_keys=("ref_point_head", "sampling_offsets")):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(getattr(k, "key", str(k)) for k in kp)
+
+    labels = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params),
+        [_label_for_path(path_str(kp), backbone_keys, proj_keys) for kp, _ in flat],
+    )
+    return labels
+
+
+def make_optimizer(
+    params,
+    lr,
+    lr_backbone: float,
+    lr_linear_proj_mult: float = 0.1,
+    weight_decay: float = 1e-4,
+    clip_max_norm: float = 0.1,
+    frozen_keys: Sequence[str] = (),
+):
+    """lr may be a float or an optax schedule (applied proportionally to all
+    groups).  frozen_keys: parameter-path substrings to freeze entirely
+    (reference main.py:269-290 keyword freezing)."""
+
+    def scaled(schedule_or_lr, mult):
+        if callable(schedule_or_lr):
+            return lambda step: schedule_or_lr(step) * mult
+        return schedule_or_lr * mult
+
+    base_mult = 1.0
+    backbone_mult = lr_backbone / lr if not callable(lr) else lr_backbone / lr(0)
+
+    def adamw(mult):
+        return optax.adamw(
+            learning_rate=scaled(lr, mult), b1=0.9, b2=0.999,
+            weight_decay=weight_decay,
+        )
+
+    labels = label_params(params)
+    if frozen_keys:
+        flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+
+        def path_str(kp):
+            return "/".join(getattr(k, "key", str(k)) for k in kp)
+
+        new_leaves = []
+        for kp, lbl in flat:
+            p = path_str(kp)
+            new_leaves.append(
+                "frozen" if any(k in p for k in frozen_keys) else lbl
+            )
+        labels = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(labels), new_leaves
+        )
+
+    tx = optax.multi_transform(
+        {
+            "base": adamw(base_mult),
+            "backbone": adamw(backbone_mult),
+            "linear_proj": adamw(lr_linear_proj_mult),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+    return optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+
+
+def make_lr_schedule(args, steps_per_epoch: int):
+    """Reference main.py:334-339: OneCycle / MultiStep / StepLR."""
+    base = float(args.lr)
+    total_steps = int(args.epochs) * steps_per_epoch
+    if getattr(args, "onecyclelr", False):
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total_steps, peak_value=base, pct_start=0.2
+        )
+    if getattr(args, "multi_step_lr", False):
+        bounds = {
+            int(e) * steps_per_epoch: 0.1 for e in args.lr_drop_list
+        }
+        return optax.piecewise_constant_schedule(base, bounds)
+    return optax.piecewise_constant_schedule(
+        base, {int(args.lr_drop) * steps_per_epoch: 0.1}
+    )

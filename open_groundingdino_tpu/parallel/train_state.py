@@ -1,0 +1,88 @@
+"""Train state + jitted train/eval steps.
+
+The reference's step = AMP forward, criterion with host Hungarian, scaled
+backward, DDP all-reduce, grad clip, AdamW (engine_multi.py:353-593).
+Here the entire step — forward, on-device Hungarian matching, losses,
+gradients, clip, AdamW — is ONE jitted function; data parallelism comes
+from sharded batch inputs over the mesh (no loss scaling needed in bf16).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+
+MODEL_INPUT_KEYS = (
+    "images", "image_sizes", "input_ids", "text_token_mask",
+    "position_ids", "text_self_attention_masks",
+)
+
+
+def make_train_step(model, criterion) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics); jit it once."""
+
+    def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        model_inputs = {k: batch[k] for k in MODEL_INPUT_KEYS}
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, **model_inputs)
+            total, losses = criterion(
+                out, batch["gt_boxes"], batch["gt_pos_maps"], batch["gt_valid"]
+            )
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, criterion=None) -> Callable:
+    def eval_step(params, batch):
+        model_inputs = {k: batch[k] for k in MODEL_INPUT_KEYS}
+        out = model.apply({"params": params}, **model_inputs)
+        result = {
+            "pred_logits": out["pred_logits"],
+            "pred_boxes": out["pred_boxes"],
+        }
+        if criterion is not None and "gt_boxes" in batch:
+            total, losses = criterion(
+                out, batch["gt_boxes"], batch["gt_pos_maps"], batch["gt_valid"]
+            )
+            result["loss"] = total
+            result["losses"] = losses
+        return result
+
+    return eval_step

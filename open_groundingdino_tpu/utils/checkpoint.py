@@ -1,0 +1,189 @@
+"""Checkpoint save/resume (Orbax) + published-PyTorch-checkpoint ingestion.
+
+Save format: {params, opt_state, step, epoch} per save_checkpoint_interval,
+auto-resume from the latest checkpoint in output_dir — the semantics of
+reference main.py:348-381 / util/utils.py:22-28, with Orbax replacing
+torch.save.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(ckpt_dir: str, step: int, payload: Dict[str, Any]) -> None:
+    ocp = _ocp()
+    path = os.path.join(os.path.abspath(ckpt_dir), f"checkpoint_{step}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(payload), force=True)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("checkpoint_"):
+            try:
+                steps.append(int(name.split("_")[-1]))
+            except ValueError:
+                pass
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, f"checkpoint_{max(steps)}")
+
+
+def restore_checkpoint(path: str, template: Optional[Dict] = None) -> Dict:
+    ocp = _ocp()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(path, item=jax.device_get(template))
+        return ckptr.restore(path)
+
+
+# ---------------------------------------------------------------------------
+# PyTorch GroundingDINO checkpoint -> full framework params
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth checkpoint into numpy (CPU, no grad), applying
+    clean_state_dict (strip 'module.') and unwrapping {'model': ...}."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def convert_groundingdino_checkpoint(
+    sd: Dict[str, np.ndarray],
+    swin_depths=(2, 2, 6, 2),
+    out_indices=(1, 2, 3),
+    num_feature_levels: int = 4,
+    enc_layers: int = 6,
+    dec_layers: int = 6,
+    bert_layers: int = 12,
+) -> Dict:
+    """Map a published GroundingDINO state_dict (keys per reference
+    groundingdino.py/transformer.py module names) onto this framework's
+    parameter tree."""
+    from . import torch_convert as tc
+
+    p: Dict = {}
+
+    # --- text tower ---
+    bert_sd = tc.strip_prefix(sd, "bert.")
+    p["bert"] = tc.convert_bert_state_dict(bert_sd, num_layers=bert_layers)
+    p["feat_map"] = tc.linear(sd, "feat_map")
+
+    # --- backbone ---
+    swin_sd = tc.strip_prefix(sd, "backbone.0.")
+    p["backbone"] = tc.convert_swin_state_dict(swin_sd, swin_depths, out_indices)
+
+    # --- input projections (Sequential: .0 conv, .1 groupnorm) ---
+    for l in range(num_feature_levels):
+        p[f"input_proj_{l}_conv"] = tc.conv2d(sd, f"input_proj.{l}.0")
+        p[f"input_proj_{l}_gn"] = {
+            "scale": tc._t(sd[f"input_proj.{l}.1.weight"]),
+            "bias": tc._t(sd[f"input_proj.{l}.1.bias"]),
+        }
+
+    # --- transformer ---
+    t: Dict = {
+        "level_embed": tc._t(sd["transformer.level_embed"]),
+        "tgt_embed": tc._t(sd["transformer.tgt_embed.weight"]),
+        "enc_output": tc.linear(sd, "transformer.enc_output"),
+        "enc_output_norm": tc.layernorm(sd, "transformer.enc_output_norm"),
+    }
+
+    def mha(prefix):
+        # our MultiHeadAttention stores in_proj_weight in torch layout (3E, E)
+        return {
+            "in_proj_weight": tc._t(sd[f"{prefix}.in_proj_weight"]),
+            "in_proj_bias": tc._t(sd[f"{prefix}.in_proj_bias"]),
+            "out_proj": tc.linear(sd, f"{prefix}.out_proj"),
+        }
+
+    def msdeform(prefix):
+        return {
+            "value_proj": tc.linear(sd, f"{prefix}.value_proj"),
+            "sampling_offsets": tc.linear(sd, f"{prefix}.sampling_offsets"),
+            "attention_weights": tc.linear(sd, f"{prefix}.attention_weights"),
+            "output_proj": tc.linear(sd, f"{prefix}.output_proj"),
+        }
+
+    def mlp(prefix, n):
+        return {
+            f"layers_{i}": tc.linear(sd, f"{prefix}.layers.{i}") for i in range(n)
+        }
+
+    for i in range(enc_layers):
+        pre = f"transformer.encoder.layers.{i}"
+        t[f"enc_layer_{i}"] = {
+            "self_attn": msdeform(f"{pre}.self_attn"),
+            "norm1": tc.layernorm(sd, f"{pre}.norm1"),
+            "linear1": tc.linear(sd, f"{pre}.linear1"),
+            "linear2": tc.linear(sd, f"{pre}.linear2"),
+            "norm2": tc.layernorm(sd, f"{pre}.norm2"),
+        }
+        fpre = f"transformer.encoder.fusion_layers.{i}"
+        t[f"fusion_{i}"] = {
+            "layer_norm_v": tc.layernorm(sd, f"{fpre}.layer_norm_v"),
+            "layer_norm_l": tc.layernorm(sd, f"{fpre}.layer_norm_l"),
+            "gamma_v": tc._t(sd[f"{fpre}.gamma_v"]),
+            "gamma_l": tc._t(sd[f"{fpre}.gamma_l"]),
+            "attn": {
+                name: tc.linear(sd, f"{fpre}.attn.{name}")
+                for name in (
+                    "v_proj", "l_proj", "values_v_proj", "values_l_proj",
+                    "out_v_proj", "out_l_proj",
+                )
+            },
+        }
+        tpre = f"transformer.encoder.text_layers.{i}"
+        t[f"text_layer_{i}"] = {
+            "self_attn": mha(f"{tpre}.self_attn"),
+            "linear1": tc.linear(sd, f"{tpre}.linear1"),
+            "linear2": tc.linear(sd, f"{tpre}.linear2"),
+            "norm1": tc.layernorm(sd, f"{tpre}.norm1"),
+            "norm2": tc.layernorm(sd, f"{tpre}.norm2"),
+        }
+
+    for i in range(dec_layers):
+        pre = f"transformer.decoder.layers.{i}"
+        t[f"dec_layer_{i}"] = {
+            "cross_attn": msdeform(f"{pre}.cross_attn"),
+            "norm1": tc.layernorm(sd, f"{pre}.norm1"),
+            "ca_text": mha(f"{pre}.ca_text"),
+            "catext_norm": tc.layernorm(sd, f"{pre}.catext_norm"),
+            "self_attn": mha(f"{pre}.self_attn"),
+            "norm2": tc.layernorm(sd, f"{pre}.norm2"),
+            "linear1": tc.linear(sd, f"{pre}.linear1"),
+            "linear2": tc.linear(sd, f"{pre}.linear2"),
+            "norm3": tc.layernorm(sd, f"{pre}.norm3"),
+        }
+
+    t["ref_point_head"] = mlp("transformer.decoder.ref_point_head", 2)
+    t["dec_norm"] = tc.layernorm(sd, "transformer.decoder.norm")
+    # shared box head: bbox_embed.0 == transformer.decoder.bbox_embed.0 (shared)
+    t["bbox_embed"] = mlp("bbox_embed.0", 3)
+    # two-stage enc box head (NOT shared in config: separate weights)
+    t["enc_out_bbox_embed"] = mlp("transformer.enc_out_bbox_embed", 3)
+
+    p["transformer"] = t
+    return p

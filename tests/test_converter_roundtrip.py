@@ -1,0 +1,213 @@
+"""Full-checkpoint converter: a synthetic torch-layout state_dict with the
+reference module key names must convert to a tree that exactly matches the
+flax init tree (names + shapes) and run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_groundingdino_tpu.models.bert import BertConfig
+from open_groundingdino_tpu.models.groundingdino import GroundingDINO
+from open_groundingdino_tpu.models.swin import SwinConfig
+from open_groundingdino_tpu.utils.checkpoint import convert_groundingdino_checkpoint
+
+T, QN = 16, 12
+SWIN = SwinConfig(
+    embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 4), window_size=4,
+    out_indices=(1, 2, 3),
+)
+BERT = BertConfig(
+    vocab_size=40, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+    intermediate_size=32, max_position_embeddings=32,
+    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+)
+
+
+def _model():
+    return GroundingDINO(
+        swin_cfg=SWIN, bert_cfg=BERT, hidden_dim=32, num_queries=QN, nheads=4,
+        num_feature_levels=4, enc_layers=2, dec_layers=2, dim_feedforward=64,
+        max_text_len=T,
+    )
+
+
+def _torch_layout_state_dict(flax_params):
+    """Reverse-map the flax init tree into reference-named torch tensors.
+    This validates converter mechanics (shape transposes + tree paths)."""
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def lin(prefix, tree):
+        sd[f"{prefix}.weight"] = np.asarray(tree["kernel"]).T
+        if "bias" in tree:
+            sd[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+    def ln(prefix, tree):
+        sd[f"{prefix}.weight"] = np.asarray(tree["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+    p = flax_params
+
+    # bert
+    be = p["bert"]["embeddings"]
+    sd["bert.embeddings.word_embeddings.weight"] = np.asarray(
+        be["word_embeddings"]["embedding"]
+    )
+    sd["bert.embeddings.position_embeddings.weight"] = np.asarray(
+        be["position_embeddings"]["embedding"]
+    )
+    sd["bert.embeddings.token_type_embeddings.weight"] = np.asarray(
+        be["token_type_embeddings"]["embedding"]
+    )
+    ln("bert.embeddings.LayerNorm", be["ln"])
+    for i in range(BERT.num_hidden_layers):
+        l = p["bert"][f"layer_{i}"]
+        pre = f"bert.encoder.layer.{i}"
+        lin(f"{pre}.attention.self.query", l["q"])
+        lin(f"{pre}.attention.self.key", l["k"])
+        lin(f"{pre}.attention.self.value", l["v"])
+        lin(f"{pre}.attention.output.dense", l["attn_out"])
+        ln(f"{pre}.attention.output.LayerNorm", l["attn_ln"])
+        lin(f"{pre}.intermediate.dense", l["inter"])
+        lin(f"{pre}.output.dense", l["out"])
+        ln(f"{pre}.output.LayerNorm", l["out_ln"])
+    lin("feat_map", p["feat_map"])
+
+    # swin backbone
+    bb = p["backbone"]
+    sd["backbone.0.patch_embed.proj.weight"] = np.asarray(
+        bb["patch_embed"]["kernel"]
+    ).transpose(3, 2, 0, 1)
+    sd["backbone.0.patch_embed.proj.bias"] = np.asarray(bb["patch_embed"]["bias"])
+    ln("backbone.0.patch_embed.norm", bb["patch_norm"])
+    for i, depth in enumerate(SWIN.depths):
+        for b in range(depth):
+            blk = bb[f"layer_{i}_block_{b}"]
+            pre = f"backbone.0.layers.{i}.blocks.{b}"
+            ln(f"{pre}.norm1", blk["norm1"])
+            sd[f"{pre}.attn.relative_position_bias_table"] = np.asarray(
+                blk["attn"]["relative_position_bias_table"]
+            )
+            lin(f"{pre}.attn.qkv", blk["attn"]["qkv"])
+            lin(f"{pre}.attn.proj", blk["attn"]["proj"])
+            ln(f"{pre}.norm2", blk["norm2"])
+            lin(f"{pre}.mlp.fc1", blk["fc1"])
+            lin(f"{pre}.mlp.fc2", blk["fc2"])
+        if i < len(SWIN.depths) - 1:
+            ds = bb[f"downsample_{i}"]
+            ln(f"backbone.0.layers.{i}.downsample.norm", ds["norm"])
+            sd[f"backbone.0.layers.{i}.downsample.reduction.weight"] = np.asarray(
+                ds["reduction"]["kernel"]
+            ).T
+    for i in SWIN.out_indices:
+        ln(f"backbone.0.norm{i}", bb[f"out_norm_{i}"])
+
+    # input projections
+    for l in range(4):
+        conv = p[f"input_proj_{l}_conv"]
+        sd[f"input_proj.{l}.0.weight"] = np.asarray(conv["kernel"]).transpose(
+            3, 2, 0, 1
+        )
+        sd[f"input_proj.{l}.0.bias"] = np.asarray(conv["bias"])
+        gn = p[f"input_proj_{l}_gn"]
+        sd[f"input_proj.{l}.1.weight"] = np.asarray(gn["scale"])
+        sd[f"input_proj.{l}.1.bias"] = np.asarray(gn["bias"])
+
+    # transformer
+    t = p["transformer"]
+    sd["transformer.level_embed"] = np.asarray(t["level_embed"])
+    sd["transformer.tgt_embed.weight"] = np.asarray(t["tgt_embed"])
+    lin("transformer.enc_output", t["enc_output"])
+    ln("transformer.enc_output_norm", t["enc_output_norm"])
+
+    def msd(prefix, tree):
+        for k in ("value_proj", "sampling_offsets", "attention_weights", "output_proj"):
+            lin(f"{prefix}.{k}", tree[k])
+
+    def mha(prefix, tree):
+        sd[f"{prefix}.in_proj_weight"] = np.asarray(tree["in_proj_weight"])
+        sd[f"{prefix}.in_proj_bias"] = np.asarray(tree["in_proj_bias"])
+        lin(f"{prefix}.out_proj", tree["out_proj"])
+
+    def mlp(prefix, tree):
+        for name, sub in tree.items():
+            i = name.split("_")[-1]
+            lin(f"{prefix}.layers.{i}", sub)
+
+    for i in range(2):  # enc_layers
+        e = t[f"enc_layer_{i}"]
+        pre = f"transformer.encoder.layers.{i}"
+        msd(f"{pre}.self_attn", e["self_attn"])
+        ln(f"{pre}.norm1", e["norm1"])
+        lin(f"{pre}.linear1", e["linear1"])
+        lin(f"{pre}.linear2", e["linear2"])
+        ln(f"{pre}.norm2", e["norm2"])
+        f = t[f"fusion_{i}"]
+        fpre = f"transformer.encoder.fusion_layers.{i}"
+        ln(f"{fpre}.layer_norm_v", f["layer_norm_v"])
+        ln(f"{fpre}.layer_norm_l", f["layer_norm_l"])
+        sd[f"{fpre}.gamma_v"] = np.asarray(f["gamma_v"])
+        sd[f"{fpre}.gamma_l"] = np.asarray(f["gamma_l"])
+        for k in ("v_proj", "l_proj", "values_v_proj", "values_l_proj",
+                  "out_v_proj", "out_l_proj"):
+            lin(f"{fpre}.attn.{k}", f["attn"][k])
+        tl = t[f"text_layer_{i}"]
+        tpre = f"transformer.encoder.text_layers.{i}"
+        mha(f"{tpre}.self_attn", tl["self_attn"])
+        lin(f"{tpre}.linear1", tl["linear1"])
+        lin(f"{tpre}.linear2", tl["linear2"])
+        ln(f"{tpre}.norm1", tl["norm1"])
+        ln(f"{tpre}.norm2", tl["norm2"])
+
+    for i in range(2):  # dec_layers
+        d = t[f"dec_layer_{i}"]
+        pre = f"transformer.decoder.layers.{i}"
+        msd(f"{pre}.cross_attn", d["cross_attn"])
+        ln(f"{pre}.norm1", d["norm1"])
+        mha(f"{pre}.ca_text", d["ca_text"])
+        ln(f"{pre}.catext_norm", d["catext_norm"])
+        mha(f"{pre}.self_attn", d["self_attn"])
+        ln(f"{pre}.norm2", d["norm2"])
+        lin(f"{pre}.linear1", d["linear1"])
+        lin(f"{pre}.linear2", d["linear2"])
+        ln(f"{pre}.norm3", d["norm3"])
+
+    mlp("transformer.decoder.ref_point_head", t["ref_point_head"])
+    ln("transformer.decoder.norm", t["dec_norm"])
+    mlp("bbox_embed.0", t["bbox_embed"])
+    mlp("transformer.enc_out_bbox_embed", t["enc_out_bbox_embed"])
+    return sd
+
+
+def test_converter_roundtrip():
+    model = _model()
+    B = 1
+    rng = np.random.RandomState(0)
+    inputs = dict(
+        images=jnp.asarray(rng.randn(B, 32, 32, 3).astype(np.float32)),
+        image_sizes=jnp.full((B, 2), 32, jnp.int32),
+        input_ids=jnp.asarray(rng.randint(5, 40, (B, T)), jnp.int32),
+        text_token_mask=jnp.ones((B, T), bool),
+        position_ids=jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1)),
+        text_self_attention_masks=jnp.ones((B, T, T), bool),
+    )
+    init = model.init(jax.random.PRNGKey(0), **inputs)["params"]
+    sd = _torch_layout_state_dict(init)
+    converted = convert_groundingdino_checkpoint(
+        sd, swin_depths=SWIN.depths, out_indices=SWIN.out_indices,
+        num_feature_levels=4, enc_layers=2, dec_layers=2,
+        bert_layers=BERT.num_hidden_layers,
+    )
+    ref = jax.tree_util.tree_map(lambda a: np.asarray(a), init)
+    got = jax.tree_util.tree_map(lambda a: np.asarray(a), converted)
+    ref_flat = jax.tree_util.tree_flatten_with_path(ref)[0]
+    got_flat = {tuple(str(k) for k in kp): v
+                for kp, v in jax.tree_util.tree_flatten_with_path(got)[0]}
+    assert set(got_flat) == {
+        tuple(str(k) for k in kp) for kp, _ in ref_flat
+    }
+    for kp, v in ref_flat:
+        key = tuple(str(k) for k in kp)
+        np.testing.assert_allclose(got_flat[key], v, atol=1e-6, err_msg=str(key))
+
+    out = model.apply({"params": converted}, **inputs)
+    assert out["pred_logits"].shape == (B, QN, T)

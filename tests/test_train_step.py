@@ -1,0 +1,109 @@
+"""Jitted train step over the 8-device CPU mesh: data-parallel sharded batch,
+replicated params, on-device matching — loss must fall on a fixed batch.
+This is the pjit/psum capability test the torch reference cannot run without
+a GPU cluster (SURVEY.md section 4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_groundingdino_tpu.models.bert import BertConfig
+from open_groundingdino_tpu.models.criterion import SetCriterion
+from open_groundingdino_tpu.models.groundingdino import GroundingDINO
+from open_groundingdino_tpu.models.swin import SwinConfig
+from open_groundingdino_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from open_groundingdino_tpu.parallel.optim import make_optimizer
+from open_groundingdino_tpu.parallel.train_state import TrainState, make_train_step
+
+B, T, QN, G = 8, 16, 12, 3
+IMG = 32
+
+
+def _tiny_model():
+    return GroundingDINO(
+        swin_cfg=SwinConfig(
+            embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 4),
+            window_size=4, out_indices=(1, 2, 3),
+        ),
+        bert_cfg=BertConfig(
+            vocab_size=40, hidden_size=32, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=32,
+            max_position_embeddings=32, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        ),
+        hidden_dim=32, num_queries=QN, nheads=4, num_feature_levels=4,
+        enc_layers=1, dec_layers=2, dim_feedforward=64, max_text_len=T,
+    )
+
+
+def _batch(seed=0):
+    rng = np.random.RandomState(seed)
+    pos_maps = np.zeros((B, G, T), np.float32)
+    pos_maps[:, :, 2:4] = 1.0
+    return {
+        "images": rng.randn(B, IMG, IMG, 3).astype(np.float32),
+        "image_sizes": np.full((B, 2), IMG, np.int32),
+        "input_ids": rng.randint(5, 40, size=(B, T)).astype(np.int32),
+        "text_token_mask": np.ones((B, T), bool),
+        "position_ids": np.tile(np.arange(T, dtype=np.int32)[None], (B, 1)),
+        "text_self_attention_masks": np.tile(np.eye(T, dtype=bool)[None], (B, 1, 1))
+        | True,
+        "gt_boxes": (
+            rng.uniform(0.3, 0.7, (B, G, 4)) * np.asarray([1, 1, 0.3, 0.3])
+        ).astype(np.float32),
+        "gt_pos_maps": pos_maps,
+        "gt_valid": np.ones((B, G), bool),
+    }
+
+
+@pytest.mark.slow
+def test_train_step_8dev_mesh_loss_decreases():
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    model = _tiny_model()
+    batch = _batch()
+
+    init_batch = {
+        k: v for k, v in batch.items()
+        if k not in ("gt_boxes", "gt_pos_maps", "gt_valid")
+    }
+    params = model.init(jax.random.PRNGKey(0), **init_batch)["params"]
+    tx = make_optimizer(params, lr=1e-3, lr_backbone=1e-4, clip_max_norm=0.1)
+    state = TrainState.create(params, tx)
+    state = replicate_tree(state, mesh)
+
+    crit = SetCriterion(num_queries=QN)
+    train_step = jax.jit(make_train_step(model, crit), donate_argnums=(0,))
+
+    sharded = shard_batch(batch, mesh)
+    losses = []
+    for _ in range(4):
+        state, metrics = train_step(state, sharded)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_frozen_params_do_not_update():
+    mesh = make_mesh()
+    model = _tiny_model()
+    batch = _batch(1)
+    init_batch = {
+        k: v for k, v in batch.items()
+        if k not in ("gt_boxes", "gt_pos_maps", "gt_valid")
+    }
+    params = model.init(jax.random.PRNGKey(1), **init_batch)["params"]
+    tx = make_optimizer(
+        params, lr=1e-3, lr_backbone=1e-4, frozen_keys=("bert",)
+    )
+    state = TrainState.create(params, tx)
+    crit = SetCriterion(num_queries=QN)
+    train_step = jax.jit(make_train_step(model, crit))
+    new_state, _ = train_step(state, shard_batch(batch, mesh))
+    before = np.asarray(params["bert"]["layer_0"]["q"]["kernel"])
+    after = np.asarray(new_state.params["bert"]["layer_0"]["q"]["kernel"])
+    np.testing.assert_array_equal(before, after)
+    fm_before = np.asarray(params["feat_map"]["kernel"])
+    fm_after = np.asarray(new_state.params["feat_map"]["kernel"])
+    assert np.abs(fm_before - fm_after).max() > 0
