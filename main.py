@@ -152,7 +152,7 @@ def main(cli):
         )
         logger.info(f"loaded torch pretrain {cli.pretrain_model_path}")
     else:
-        params = model.init(jax.random.PRNGKey(cli.seed), **init_inputs)["params"]
+        params = jax.jit(model.init)(jax.random.PRNGKey(cli.seed), **init_inputs)["params"]
         if cli.pretrain_model_path:
             restored = ckpt_utils.restore_checkpoint(cli.pretrain_model_path)
             params = restored.get("params", restored)

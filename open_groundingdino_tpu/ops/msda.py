@@ -107,22 +107,27 @@ def ms_deform_attn_xla(
     # combine bilinear weight with attention weight: (B, Q, H, NL, P, 4)
     w = bweights * attention_weights.astype(jnp.float32)[..., None]
 
-    # (B, Q, H, NL, P, 4) -> (B, H, Q*NL*P*4)
-    K = Q * NL * P * 4
-    idx_bh = jnp.transpose(idx, (0, 2, 1, 3, 4, 5)).reshape(B, H, K)
-    w_bh = jnp.transpose(w, (0, 2, 1, 3, 4, 5)).reshape(B, H, K)
+    # Scan over the NL*P*4 "taps" instead of one giant gather: each step
+    # gathers (B, H, Q, D) and accumulates the weighted contribution.  This
+    # keeps live memory at O(B*H*Q*D) — the monolithic gather materializes
+    # (B, H, Q, NL*P*4, D), which is ~5 GB at encoder scale (Q = L ~ 20k)
+    # and OOMs a v5e chip.
+    K = NL * P * 4
+    # (B, Q, H, NL, P, 4) -> (K, B, H, Q)
+    idx_t = jnp.transpose(idx, (3, 4, 5, 0, 2, 1)).reshape(K, B, H, Q)
+    w_t = jnp.transpose(w, (3, 4, 5, 0, 2, 1)).reshape(K, B, H, Q)
 
-    # value: (B, L, H, D) -> (B, H, L, D)
-    value_bh = jnp.transpose(value, (0, 2, 1, 3))
-    gathered = jnp.take_along_axis(
-        value_bh, idx_bh[..., None], axis=2
-    )  # (B, H, K, D)
+    value_bh = jnp.transpose(value, (0, 2, 1, 3))  # (B, H, L, D)
 
-    out = jnp.sum(
-        gathered.reshape(B, H, Q, NL * P * 4, D)
-        * w_bh.reshape(B, H, Q, NL * P * 4, 1).astype(gathered.dtype),
-        axis=3,
-    )  # (B, H, Q, D)
+    def tap(acc, tap_inputs):
+        tap_idx, tap_w = tap_inputs  # (B, H, Q), (B, H, Q)
+        g = jnp.take_along_axis(
+            value_bh, tap_idx[..., None], axis=2
+        )  # (B, H, Q, D)
+        return acc + g * tap_w[..., None].astype(g.dtype), None
+
+    out0 = jnp.zeros((B, H, Q, D), value.dtype)
+    out, _ = jax.lax.scan(tap, out0, (idx_t, w_t))
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, H * D)
 
 

@@ -40,7 +40,7 @@ def model_and_params():
         max_text_len=T,
     )
     batch = _batch()
-    params = model.init(jax.random.PRNGKey(0), **batch)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
     return model, params, batch
 
 

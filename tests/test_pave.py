@@ -1,0 +1,91 @@
+"""PAVE crop pipeline + metrics tests."""
+import numpy as np
+
+from open_groundingdino_tpu.pave import crop_utils
+from open_groundingdino_tpu.pave.engine import (
+    crops_to_samples,
+    evaluate_frames,
+    merge_crop_predictions,
+)
+from open_groundingdino_tpu.pave.metrics import (
+    count_tp_fp_fn,
+    per_image_records,
+    summarize,
+    threshold_sweep,
+)
+
+
+def test_crop_boxes_cover_car_bbox():
+    boxes = crop_utils.create_crop_boxes((1080, 1920), (500, 300, 1400, 900))
+    assert len(boxes) > 1
+    for (x0, y0), (x1, y1) in boxes:
+        assert x1 - x0 == 512 and y1 - y0 == 512
+        assert 0 <= x0 and x1 <= 1920 and 0 <= y0 and y1 <= 1080
+
+
+def test_box_translate_roundtrip():
+    cb = ((100, 200), (612, 712))
+    box = (150.0, 260.0, 300.0, 400.0)
+    local = crop_utils.translate_box_to_crop(box, cb)
+    back = crop_utils.translate_box_to_image(local, cb)
+    assert back == box
+    assert crop_utils.is_inside(box, cb)
+    assert not crop_utils.is_inside((0, 0, 50, 50), cb)
+
+
+def test_crops_with_boxes_filters_and_translates():
+    img = np.zeros((1080, 1920, 3), np.uint8)
+    gt = np.asarray([[600, 500, 700, 560]], np.float32)
+    crops = crop_utils.crops_with_boxes(
+        img, (400, 300, 1500, 900), gt, np.asarray([0])
+    )
+    assert len(crops) >= 1
+    for c in crops:
+        assert c["image"].shape == (512, 512, 3)
+        for b in c["boxes"]:
+            assert (b >= 0).all()
+            assert b[2] <= 512 and b[3] <= 512
+
+
+def test_crops_to_samples_and_merge():
+    img = np.zeros((1080, 1920, 3), np.uint8)
+    gt = np.asarray([[600, 500, 700, 560]], np.float32)
+    samples, crop_boxes = crops_to_samples(
+        img, (400, 300, 1500, 900), gt, np.asarray([0]), "dent .", ["dent"]
+    )
+    assert len(samples) == len(crop_boxes)
+    # simulate a perfect detection in the first crop
+    local = crop_utils.translate_box_to_crop((600, 500, 700, 560), crop_boxes[0])
+    results = [{"scores": np.asarray([0.9]), "boxes": np.asarray([local])}]
+    results += [
+        {"scores": np.zeros((0,)), "boxes": np.zeros((0, 4))}
+        for _ in crop_boxes[1:]
+    ]
+    merged = merge_crop_predictions(results, crop_boxes)
+    np.testing.assert_allclose(
+        merged["boxes"][0], [600, 500, 700, 560], atol=1e-5
+    )
+
+
+def test_metrics_tp_fp_fn():
+    pred = np.asarray([[0, 0, 100, 100], [1000, 1000, 1100, 1100]], np.float32)
+    gt = np.asarray([[10, 10, 110, 110]], np.float32)
+    per_pred, per_gt = per_image_records(pred, gt)
+    tp, fp, fn = count_tp_fp_fn(per_pred, per_gt, iou_thresh=0.5, dist_thresh=50)
+    assert (tp, fp, fn) == (1, 1, 0)
+    # strict thresholds: nothing matches
+    tp, fp, fn = count_tp_fp_fn(per_pred, per_gt, iou_thresh=0.95, dist_thresh=1)
+    assert (tp, fp, fn) == (0, 2, 1)
+
+
+def test_summarize_and_sweep():
+    pred = np.asarray([[0, 0, 100, 100]], np.float32)
+    gt = np.asarray([[0, 0, 100, 100]], np.float32)
+    rec = [per_image_records(pred, gt)]
+    s = summarize(rec, 0.5, 400)
+    assert s["precision"] == 1.0 and s["recall"] == 1.0
+    sweep = threshold_sweep(rec, (0.5,), (100,))
+    assert sweep[0]["precision"] == 1.0
+
+    e = evaluate_frames([pred], [gt])
+    assert e["recall"] == 1.0

@@ -67,7 +67,7 @@ def test_train_step_8dev_mesh_loss_decreases():
         k: v for k, v in batch.items()
         if k not in ("gt_boxes", "gt_pos_maps", "gt_valid")
     }
-    params = model.init(jax.random.PRNGKey(0), **init_batch)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), **init_batch)["params"]
     tx = make_optimizer(params, lr=1e-3, lr_backbone=1e-4, clip_max_norm=0.1)
     state = TrainState.create(params, tx)
     state = replicate_tree(state, mesh)
@@ -93,7 +93,7 @@ def test_frozen_params_do_not_update():
         k: v for k, v in batch.items()
         if k not in ("gt_boxes", "gt_pos_maps", "gt_valid")
     }
-    params = model.init(jax.random.PRNGKey(1), **init_batch)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), **init_batch)["params"]
     tx = make_optimizer(
         params, lr=1e-3, lr_backbone=1e-4, frozen_keys=("bert",)
     )
