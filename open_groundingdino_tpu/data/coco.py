@@ -93,6 +93,10 @@ class CocoDetection:
             labels=np.asarray(labels, np.int64),
             image_id=img_id,
             orig_size=(h, w),
+            # caption from the full category list (reference builds it in the
+            # eval engine, engine_multi.py:641-651; for COCO fine-tuning the
+            # caption is the same every sample)
+            caption=" . ".join(self.cat_list) + " .",
             cap_list=self.cat_list,
         )
         if self.transform is not None:

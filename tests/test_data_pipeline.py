@@ -1,0 +1,164 @@
+"""Data layer end-to-end on synthetic files: ODVG/COCO datasets -> transforms
+-> collator -> static-shape model batch."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from open_groundingdino_tpu.data.coco import CocoDetection
+from open_groundingdino_tpu.data.loader import Collator, DataLoader, shard_iter
+from open_groundingdino_tpu.data.odvg import ODVGDataset
+from open_groundingdino_tpu.data.tokenization import BertWordPieceTokenizer
+from open_groundingdino_tpu.data.transforms import (
+    Bucketer,
+    EvalTransform,
+    TrainTransform,
+    get_size_with_aspect_ratio,
+)
+
+VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] [MASK] . ? dog cat bird car person".split()
+)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    (d / "images").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        arr = rng.randint(0, 255, (80 + i * 10, 120, 3), np.uint8)
+        Image.fromarray(arr).save(d / "images" / f"img_{i}.jpg")
+
+    # ODVG OD jsonl
+    label_map = {"0": "dog", "1": "cat", "2": "bird"}
+    (d / "label_map.json").write_text(json.dumps(label_map))
+    with open(d / "od.jsonl", "w") as f:
+        for i in range(4):
+            rec = {
+                "filename": f"images/img_{i}.jpg",
+                "detection": {
+                    "instances": [
+                        {"bbox": [10, 10, 60, 50], "label": i % 3},
+                        {"bbox": [30, 20, 100, 70], "label": (i + 1) % 3},
+                    ]
+                },
+            }
+            f.write(json.dumps(rec) + "\n")
+
+    # COCO json
+    coco = {
+        "images": [
+            {"id": i, "file_name": f"images/img_{i}.jpg",
+             "width": 120, "height": 80 + i * 10}
+            for i in range(4)
+        ],
+        "categories": [
+            {"id": 1, "name": "dog"}, {"id": 2, "name": "cat"},
+            {"id": 7, "name": "bird"},
+        ],
+        "annotations": [
+            {"id": i + 1, "image_id": i, "category_id": [1, 2, 7][i % 3],
+             "bbox": [10, 10, 50, 40], "area": 2000, "iscrowd": 0}
+            for i in range(4)
+        ],
+    }
+    (d / "coco.json").write_text(json.dumps(coco))
+
+    (d / "vocab.txt").write_text("\n".join(VOCAB) + "\n")
+    return d
+
+
+def test_size_with_aspect_ratio():
+    assert get_size_with_aspect_ratio((640, 480), 800, 1333) == (800, 1066)
+    # max_size kicks in
+    h, w = get_size_with_aspect_ratio((2000, 500), 800, 1333)
+    assert max(h, w) <= 1334
+
+
+def test_bucketer():
+    b = Bucketer([(480, 736), (800, 1216)])
+    assert b.bucket_for(400, 700) == (480, 736)
+    assert b.bucket_for(500, 700) == (800, 1216)
+    imgs = [np.ones((240, 320, 3), np.float32), np.ones((470, 700, 3), np.float32)]
+    batch, sizes = b.pad_batch(imgs)
+    assert batch.shape == (2, 480, 736, 3)
+    assert sizes.tolist() == [[240, 320], [470, 700]]
+
+
+def test_odvg_dataset(data_dir):
+    ds = ODVGDataset(
+        str(data_dir), str(data_dir / "od.jsonl"),
+        str(data_dir / "label_map.json"), max_labels=3,
+        transform=EvalTransform(64, 128),
+    )
+    s = ds[0]
+    assert s.caption.endswith(" .")
+    assert len(s.cap_list) == 3  # 2 pos + negatives up to max_labels
+    assert len(s.boxes) == 2
+    # labels index into cap_list and name the right category
+    names = [s.cap_list[l] for l in s.labels]
+    assert set(names) == {"dog", "cat"}
+
+
+def test_coco_dataset(data_dir):
+    ds = CocoDetection(
+        str(data_dir), str(data_dir / "coco.json"),
+        transform=EvalTransform(64, 128),
+    )
+    assert ds.cat_list == ["dog", "cat", "bird"]
+    s = ds[1]
+    assert s.labels.tolist() == [1]
+    assert s.image_id == 1
+    assert s.orig_size == (90, 120)
+
+
+def test_collator_and_loader(data_dir):
+    tok = BertWordPieceTokenizer(str(data_dir / "vocab.txt"))
+    ds = CocoDetection(
+        str(data_dir), str(data_dir / "coco.json"),
+        transform=EvalTransform(64, 128),
+    )
+    coll = Collator(tok, [(64, 96), (96, 128), (128, 128)],
+                    max_text_len=32, max_gt=8)
+    loader = DataLoader(ds, coll, batch_size=2, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images"].ndim == 4 and b["images"].shape[0] == 2
+    assert b["input_ids"].shape == (2, 32)
+    assert b["gt_boxes"].shape == (2, 8, 4)
+    assert b["gt_valid"][:, 0].all() and not b["gt_valid"][:, 1].any()
+    # positive map row hits the right caption token
+    pm = b["gt_pos_maps"][0, 0]
+    tok_ids = b["input_ids"][0]
+    hit = np.nonzero(pm)[0]
+    assert len(hit) == 1
+    assert tok.ids_to_tokens[int(tok_ids[hit[0]])] == "dog"
+    # boxes normalized cxcywh
+    assert (b["gt_boxes"][b["gt_valid"]] <= 1.0).all()
+
+
+def test_train_transform_runs(data_dir):
+    ds = ODVGDataset(
+        str(data_dir), str(data_dir / "od.jsonl"),
+        str(data_dir / "label_map.json"), max_labels=3,
+        transform=TrainTransform(scales=[64, 96], max_size=128,
+                                 scales2_resize=[48, 64],
+                                 scales2_crop=(32, 64), seed=3),
+    )
+    for i in range(4):
+        s = ds[i]
+        assert s.image.size[0] >= 16 and s.image.size[1] >= 16
+        assert s.boxes.shape[1] == 4 if len(s.boxes) else True
+
+
+def test_shard_iter_partitions():
+    idx = set()
+    for p in range(4):
+        part = shard_iter(10, p, 4, shuffle=False, seed=0)
+        assert len(part) == 3  # padded to 12
+        idx.update(part)
+    assert idx == set(range(10))
