@@ -130,6 +130,9 @@ def main(cli):
     )
     mesh = make_mesh()
     max_steps = 15 if cli.debug else None
+    # reference batch_size is per device (per-GPU); the jitted step consumes
+    # the per-process global batch sharded over the mesh
+    global_batch = int(args.batch_size) * jax.local_device_count()
 
     # ---- initialize params -------------------------------------------------
     val_dataset = build_datasets(manifest, "val", args, tokenizer)
@@ -165,7 +168,7 @@ def main(cli):
         nms_iou_threshold=args.nms_iou_threshold,
     )
     eval_loader = DataLoader(
-        val_dataset, collator, batch_size=args.batch_size,
+        val_dataset, collator, batch_size=global_batch,
         process_index=jax.process_index(), process_count=jax.process_count(),
         num_threads=cli.num_workers,
     )
@@ -185,7 +188,7 @@ def main(cli):
     # ---- train ---------------------------------------------------------------
     train_dataset = build_datasets(manifest, "train", args, tokenizer)
     train_loader = DataLoader(
-        train_dataset, collator, batch_size=args.batch_size, shuffle=True,
+        train_dataset, collator, batch_size=global_batch, shuffle=True,
         seed=cli.seed, process_index=jax.process_index(),
         process_count=jax.process_count(), num_threads=cli.num_workers,
     )

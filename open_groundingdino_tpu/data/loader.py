@@ -155,23 +155,31 @@ class DataLoader:
             len(self.dataset), self.process_index, self.process_count,
             self.shuffle, self.seed + self.epoch,
         )
-        batches = [
-            indices[i : i + self.batch_size]
-            for i in range(0, len(indices), self.batch_size)
-        ]
-        if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+        batches = []
+        for i in range(0, len(indices), self.batch_size):
+            b = indices[i : i + self.batch_size]
+            if len(b) < self.batch_size:
+                if self.drop_last:
+                    continue
+                # pad to the static batch size (padded entries flagged via
+                # n_real; eval skips them)
+                b = b + [b[-1]] * (self.batch_size - len(b))
+                batches.append((b, len(indices) - i))
+            else:
+                batches.append((b, self.batch_size))
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def worker():
             try:
-                for batch_idx in batches:
+                for batch_idx, n_real in batches:
                     if stop.is_set():
                         return
                     samples = [self.dataset[i] for i in batch_idx]
-                    out_q.put(self.collator(samples))
+                    collated = self.collator(samples)
+                    collated["n_real"] = n_real
+                    out_q.put(collated)
             except Exception as e:  # surface loader errors to the consumer
                 out_q.put(e)
             finally:

@@ -84,7 +84,8 @@ def evaluate_coco(
             batch["orig_sizes"],
         )
         preds = {}
-        for img_id, res in zip(batch["image_ids"].tolist(), results):
+        n_real = batch.get("n_real", len(results))
+        for img_id, res in list(zip(batch["image_ids"].tolist(), results))[:n_real]:
             # map contiguous label ids back to COCO category ids unless the
             # postprocessor already emitted COCO ids (coco_id_remap=True)
             labels = res["labels"]

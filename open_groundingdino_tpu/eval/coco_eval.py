@@ -55,9 +55,12 @@ def bbox_iou_xywh(det: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.nd
 class CocoBboxEvaluator:
     """update() with per-image detections, then accumulate()/summarize()."""
 
-    def __init__(self, coco_index, use_cats: bool = True):
-        """coco_index: data/coco.CocoIndex of the GT annotation file."""
+    def __init__(self, coco_index, use_cats: bool = True, use_native: bool = True):
+        """coco_index: data/coco.CocoIndex of the GT annotation file.
+        use_native: use the C++ greedy matcher (native/coco_match.cpp) when
+        a toolchain is available; numpy fallback otherwise."""
         self.coco = coco_index
+        self.use_native = use_native
         self.cat_ids = coco_index.get_cat_ids()
         self.img_ids: List[int] = []
         # evalImgs[(img_id, cat_id)] -> match record
@@ -118,7 +121,14 @@ class CocoBboxEvaluator:
         dt_m = np.zeros((T, D), np.int64) - 1      # matched gt index or -1
         gt_m = np.zeros((T, G), np.int64) - 1
         dt_ig_gt = np.zeros((T, D), bool)          # matched-to-ignored flag
-        if G:
+        native = None
+        if G and D and self.use_native:
+            from ..utils.native import coco_greedy_match
+
+            native = coco_greedy_match(ious_s, gt_ignore_s, iscrowd_s, IOU_THRS)
+        if native is not None:
+            dt_m, gt_m, dt_ig_gt = native
+        elif G:
             for t, thr in enumerate(IOU_THRS):
                 thr_eff = min(thr, 1 - 1e-10)
                 for d in range(D):

@@ -193,8 +193,18 @@ def build_groundingdino(args) -> GroundingDINO:
         out_indices=tuple(args.return_interm_indices),
         use_checkpoint=bool(getattr(args, "use_checkpoint", False)),
     )
+    bert_cfg = BertConfig(
+        vocab_size=int(getattr(args, "bert_vocab_size", 30522)),
+        hidden_size=int(getattr(args, "bert_hidden_size", 768)),
+        num_hidden_layers=int(getattr(args, "bert_layers", 12)),
+        num_attention_heads=int(getattr(args, "bert_heads", 12)),
+        intermediate_size=int(getattr(args, "bert_intermediate", 3072)),
+        hidden_dropout_prob=float(getattr(args, "text_dropout", 0.0)),
+        attention_probs_dropout_prob=float(getattr(args, "text_dropout", 0.0)),
+    )
     return GroundingDINO(
         swin_cfg=swin_cfg,
+        bert_cfg=bert_cfg,
         hidden_dim=args.hidden_dim,
         num_queries=args.num_queries,
         nheads=args.nheads,

@@ -36,7 +36,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     sh = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
-        if k in ("image_ids", "orig_sizes", "label_maps"):
+        if k in ("image_ids", "orig_sizes", "label_maps", "n_real"):
             continue  # host-side metadata
         out[k] = jax.device_put(np.asarray(v), sh)
     return out

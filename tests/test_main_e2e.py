@@ -1,0 +1,129 @@
+"""End-to-end driver test: `main.py` trains 2 debug steps + runs COCO eval on
+synthetic data with a nano config — the full user path (config -> datasets
+manifest -> loader -> jitted train step -> orbax checkpoint -> eval ->
+stats)."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import main as main_mod
+
+VOCAB = "[PAD] [UNK] [CLS] [SEP] [MASK] . ? dog cat bird".split()
+
+TINY_CFG = """
+_base_ = "{base}"
+backbone = "swin_nano_test"
+hidden_dim = 32
+nheads = 4
+enc_layers = 1
+dec_layers = 2
+dim_feedforward = 64
+num_queries = 12
+max_text_len = 24
+bert_vocab_size = 16
+bert_hidden_size = 32
+bert_layers = 1
+bert_heads = 4
+bert_intermediate = 32
+batch_size = 2
+epochs = 1
+max_gt_boxes = 8
+image_buckets = [(64, 96), (96, 96), (128, 128)]
+eval_shortest_edge = 64
+eval_max_size = 96
+data_aug_scales = [48, 64]
+data_aug_max_size = 96
+data_aug_scales2_resize = [48]
+data_aug_scales2_crop = [32, 48]
+num_select = 10
+use_checkpoint = False
+use_transformer_ckpt = False
+"""
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    (d / "images").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        arr = rng.randint(0, 255, (80, 110, 3), np.uint8)
+        Image.fromarray(arr).save(d / "images" / f"img_{i}.jpg")
+    coco = {
+        "images": [
+            {"id": i, "file_name": f"images/img_{i}.jpg", "width": 110, "height": 80}
+            for i in range(4)
+        ],
+        "categories": [
+            {"id": 1, "name": "dog"}, {"id": 2, "name": "cat"},
+            {"id": 3, "name": "bird"},
+        ],
+        "annotations": [
+            {"id": i + 1, "image_id": i, "category_id": (i % 3) + 1,
+             "bbox": [10, 10, 50, 40], "area": 2000, "iscrowd": 0}
+            for i in range(4)
+        ],
+    }
+    (d / "coco.json").write_text(json.dumps(coco))
+    manifest = {
+        "train": [{"root": str(d), "anno": str(d / "coco.json"),
+                   "dataset_mode": "coco"}],
+        "val": [{"root": str(d), "anno": str(d / "coco.json"),
+                 "dataset_mode": "coco"}],
+    }
+    (d / "datasets.json").write_text(json.dumps(manifest))
+    (d / "vocab.txt").write_text("\n".join(VOCAB) + "\n")
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "open_groundingdino_tpu", "config", "cfg_base.py",
+    )
+    (d / "cfg_tiny.py").write_text(TINY_CFG.format(base=base))
+    return d
+
+
+@pytest.mark.slow
+def test_main_train_and_eval(workspace):
+    d = workspace
+    out_dir = str(d / "out")
+    cli = main_mod.get_args_parser().parse_args(
+        [
+            "-c", str(d / "cfg_tiny.py"),
+            "--datasets", str(d / "datasets.json"),
+            "--output_dir", out_dir,
+            "--vocab", str(d / "vocab.txt"),
+            "--debug",
+        ]
+    )
+    main_mod.main(cli)
+
+    # artifacts: config snapshot, per-epoch log with train + eval stats,
+    # checkpoint directory
+    assert os.path.exists(os.path.join(out_dir, "config_cfg.py"))
+    with open(os.path.join(out_dir, "log.txt")) as f:
+        rec = json.loads(f.readline())
+    assert "loss" in rec and "AP" in rec
+    assert np.isfinite(rec["loss"])
+    ckpts = [n for n in os.listdir(out_dir) if n.startswith("checkpoint_")]
+    assert ckpts, os.listdir(out_dir)
+
+    # eval-only path reuses the checkpointed params
+    cli2 = main_mod.get_args_parser().parse_args(
+        [
+            "-c", str(d / "cfg_tiny.py"),
+            "--datasets", str(d / "datasets.json"),
+            "--output_dir", str(d / "out_eval"),
+            "--vocab", str(d / "vocab.txt"),
+            "--eval", "--debug",
+        ]
+    )
+    main_mod.main(cli2)
+    with open(os.path.join(str(d / "out_eval"), "eval_stats.json")) as f:
+        stats = json.load(f)
+    assert "AP" in stats
