@@ -26,8 +26,12 @@ A100_BASELINE_IPS = 9.0
 
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
 
     from open_groundingdino_tpu.models.bert import BertConfig
     from open_groundingdino_tpu.models.groundingdino import GroundingDINO

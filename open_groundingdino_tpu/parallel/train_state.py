@@ -40,14 +40,36 @@ MODEL_INPUT_KEYS = (
 )
 
 
-def make_train_step(model, criterion) -> Callable:
-    """Returns train_step(state, batch) -> (state, metrics); jit it once."""
+def cast_floating(tree, dtype):
+    """Cast float leaves (differentiable — gradients accumulate in the
+    original dtype, giving fp32 master params with bf16 compute)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def make_train_step(model, criterion, compute_dtype=None) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics); jit it once.
+
+    compute_dtype=jnp.bfloat16 enables mixed precision: params/optimizer stay
+    fp32, the forward runs in bf16 (the decoder FFN/heads force fp32
+    internally, mirroring the reference's AMP policy, transformer.py:871).
+    No loss scaling — bf16 has fp32's exponent range.
+    """
 
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         model_inputs = {k: batch[k] for k in MODEL_INPUT_KEYS}
 
         def loss_fn(params):
-            out = model.apply({"params": params}, **model_inputs)
+            p = params
+            inputs = model_inputs
+            if compute_dtype is not None:
+                p = cast_floating(p, compute_dtype)
+                inputs = dict(inputs, images=inputs["images"].astype(compute_dtype))
+            out = model.apply({"params": p}, **inputs)
             total, losses = criterion(
                 out, batch["gt_boxes"], batch["gt_pos_maps"], batch["gt_valid"]
             )

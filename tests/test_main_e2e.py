@@ -31,7 +31,7 @@ bert_hidden_size = 32
 bert_layers = 1
 bert_heads = 4
 bert_intermediate = 32
-batch_size = 2
+batch_size = 1
 epochs = 1
 max_gt_boxes = 8
 image_buckets = [(64, 96), (96, 96), (128, 128)]
@@ -52,13 +52,13 @@ def workspace(tmp_path_factory):
     d = tmp_path_factory.mktemp("e2e")
     (d / "images").mkdir()
     rng = np.random.RandomState(0)
-    for i in range(4):
+    for i in range(8):
         arr = rng.randint(0, 255, (80, 110, 3), np.uint8)
         Image.fromarray(arr).save(d / "images" / f"img_{i}.jpg")
     coco = {
         "images": [
             {"id": i, "file_name": f"images/img_{i}.jpg", "width": 110, "height": 80}
-            for i in range(4)
+            for i in range(8)
         ],
         "categories": [
             {"id": 1, "name": "dog"}, {"id": 2, "name": "cat"},
@@ -67,7 +67,7 @@ def workspace(tmp_path_factory):
         "annotations": [
             {"id": i + 1, "image_id": i, "category_id": (i % 3) + 1,
              "bbox": [10, 10, 50, 40], "area": 2000, "iscrowd": 0}
-            for i in range(4)
+            for i in range(8)
         ],
     }
     (d / "coco.json").write_text(json.dumps(coco))
