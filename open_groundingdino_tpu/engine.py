@@ -60,6 +60,36 @@ def train_one_epoch(
     return state, stats
 
 
+def _merge_eval_across_hosts(evaluator) -> None:
+    """All-gather per-image match records so every host can accumulate the
+    full-dataset metrics — the single-controller analog of the reference's
+    pickled all_gather merge (util/misc.py:96-137, cocogrounding_eval.py:66-69).
+
+    Records are numpy-only dicts; they are serialized to one uint8 buffer per
+    host, padded to the global max, and exchanged with
+    multihost_utils.process_allgather (host callbacks are unavailable on this
+    runtime, but allgather of host arrays is supported).
+    """
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = pickle.dumps((evaluator.img_ids, evaluator.eval_imgs))
+    local = np.frombuffer(payload, np.uint8)
+    n = np.asarray([len(local)], np.int64)
+    sizes = multihost_utils.process_allgather(n).reshape(-1)
+    maxlen = int(sizes.max())
+    padded = np.zeros((maxlen,), np.uint8)
+    padded[: len(local)] = local
+    gathered = multihost_utils.process_allgather(padded)  # (P, maxlen)
+    for p in range(gathered.shape[0]):
+        if p == jax.process_index():
+            continue
+        img_ids, eval_imgs = pickle.loads(gathered[p, : int(sizes[p])].tobytes())
+        evaluator.img_ids.extend(img_ids)
+        evaluator.eval_imgs.update(eval_imgs)
+
+
 def evaluate_coco(
     eval_step,
     params,
@@ -105,14 +135,7 @@ def evaluate_coco(
             break
 
     if jax.process_count() > 1:
-        # merge eval records across hosts (single-controller analog of the
-        # reference's pickled all_gather, util/misc.py:96-137)
-        from jax.experimental import multihost_utils
-
-        gathered = multihost_utils.process_allgather(
-            np.asarray([0], np.int32)
-        )  # barrier; record merge via broadcast of host data
-        del gathered  # per-host evaluators hold disjoint images; see note
+        _merge_eval_across_hosts(evaluator)
     evaluator.accumulate()
     stats = evaluator.summarize()
     if logger:
