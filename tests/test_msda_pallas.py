@@ -1,0 +1,65 @@
+"""Pallas MSDA kernel vs the XLA reference (interpret mode on CPU; the same
+test runs compiled on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_groundingdino_tpu.ops.msda import ms_deform_attn_xla
+from open_groundingdino_tpu.ops.msda_pallas import ms_deform_attn_pallas
+
+SHAPES = ((12, 16), (6, 8), (3, 4))
+B, H, D, P = 2, 4, 8, 4
+L = sum(h * w for h, w in SHAPES)
+NL = len(SHAPES)
+
+
+def _inputs(Q, seed=0):
+    rng = np.random.RandomState(seed)
+    value = rng.randn(B, L, H, D).astype(np.float32)
+    locs = rng.uniform(-0.1, 1.1, size=(B, Q, H, NL, P, 2)).astype(np.float32)
+    attn = rng.uniform(size=(B, Q, H, NL, P)).astype(np.float32)
+    attn /= attn.reshape(B, Q, H, -1).sum(-1).reshape(B, Q, H, 1, 1)
+    return jnp.asarray(value), jnp.asarray(locs), jnp.asarray(attn)
+
+
+def test_pallas_matches_xla_forward():
+    value, locs, attn = _inputs(Q=50)
+    ref = ms_deform_attn_xla(value, SHAPES, locs, attn)
+    out = ms_deform_attn_pallas(value, SHAPES, locs, attn)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_q_not_multiple_of_block():
+    value, locs, attn = _inputs(Q=173, seed=1)
+    ref = ms_deform_attn_xla(value, SHAPES, locs, attn)
+    out = ms_deform_attn_pallas(value, SHAPES, locs, attn)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_bf16():
+    value, locs, attn = _inputs(Q=64, seed=2)
+    v16 = value.astype(jnp.bfloat16)
+    ref = ms_deform_attn_xla(v16, SHAPES, locs, attn)
+    out = ms_deform_attn_pallas(v16, SHAPES, locs, attn)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
+def test_pallas_vjp_matches_xla():
+    value, locs, attn = _inputs(Q=40, seed=3)
+
+    def loss_p(v, l, a):
+        return jnp.sum(ms_deform_attn_pallas(v, SHAPES, l, a) ** 2)
+
+    def loss_x(v, l, a):
+        return jnp.sum(ms_deform_attn_xla(v, SHAPES, l, a) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(value, locs, attn)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(value, locs, attn)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
