@@ -100,7 +100,6 @@ def _lsap_single(cost: jnp.ndarray, n_rows: jnp.ndarray) -> jnp.ndarray:
     return row_to_col[1 : n + 1]
 
 
-@partial(jax.jit, static_argnames=())
 def hungarian_device(cost_qg: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarray:
     """Batched LSAP on device.
 

@@ -1,28 +1,28 @@
 """Pallas TPU kernel for multi-scale deformable attention (forward).
 
 Why a kernel: XLA's gather on this TPU sustains ~70M rows/s — the deformable
-attention of one encoder layer needs ~41M bilinear-corner fetches, making the
-reference-style gather formulation ~0.5 s/layer.  This kernel reaches the
-VPU's shuffle throughput instead:
+attention of one encoder layer needs ~41M bilinear-corner fetches, so the
+reference-style gather formulation costs ~0.5 s/layer.  This hardware has no
+fast dynamic-gather unit at all (Mosaic lowers lane gathers to O(lanes)
+select chains — measured ~8 gathered elements/cycle), so the kernel routes
+the gather through the MXU instead:
 
-  * `value` is stored TRANSPOSED per (batch, head): (D, L) with the
-    level-concatenated spatial axis in *lanes*,
-  * a query block (128 queries) processes its 64 taps (4 levels x 4 points x
-    4 bilinear corners); for each tap the kernel computes the dynamic range
-    of 128-lane source tiles its indices touch and sweeps only those tiles,
-  * within a tile, the fetch is a per-lane `take_along_axis` shuffle — the
-    one gather form Mosaic executes at full vector throughput (sublane-axis
-    gathers miscompile on this stack; see CLAUDE.md),
-  * contributions are masked by tile membership and accumulated in fp32.
+  for each 128-query block and each 128-position source tile it touches,
+  build the weighted scatter matrix
+      S[q, lane] = sum_taps  w_tap[q] * [idx_tap[q] == tile_base + lane]
+  with vector compares, then accumulate  S @ V_tile  ((128,128)@(128,D)) on
+  the MXU.  One matmul gathers-and-reduces 128 queries x D channels x all
+  taps touching the tile.
 
-Exact for arbitrary sampling locations (the tile sweep covers outliers, just
-more slowly); fast when sampling is local, which trained deformable
-attention is.  Corner indices/weights (grid_sample align_corners=False,
-zero padding) are precomputed by ops/msda._corner_indices_and_weights so the
-numerics match the XLA reference bit-for-bit at fp32.
+The sweep covers only the dynamic [min_tile, max_tile] range of the block's
+tap indices — exact for arbitrary sampling locations (outliers just widen
+the sweep), fast when sampling is local, which trained deformable attention
+is.  Corner indices/weights (grid_sample align_corners=False, zero padding)
+are precomputed by ops/msda._corner_indices_and_weights, so numerics match
+the XLA reference exactly at fp32.
 
 Backward: custom VJP falls back to the XLA formulation's autodiff (correct,
-slower); a scatter kernel is the planned optimization.
+slower); a mirrored scatter kernel is the planned optimization.
 """
 from __future__ import annotations
 
@@ -46,52 +46,72 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _msda_kernel(value_ref, idx_ref, w_ref, out_ref, *, n_taps: int, l_pad: int):
+def _msda_kernel(
+    value_ref, idx_ref, w_ref, out_ref, s_ref, acc_ref, *, n_taps: int, l_pad: int
+):
     """Grid: (BH, NQB).
-    value_ref: (1, D, L_pad)   — this (b, h)'s transposed value map
+    value_ref: (1, D, L_pad)      — this (b, h)'s value map, spatial in lanes
+                                     (D in lanes would pad 32->128, 4x VMEM)
     idx_ref:   (1, n_taps, QBLOCK) int32 — flat corner index per tap/query
-    w_ref:     (1, n_taps, QBLOCK) f32   — combined bilinear*attention weight
-    out_ref:   (1, D, QBLOCK)
+    w_ref:     (1, n_taps, QBLOCK) f32   — bilinear * attention weight
+               (taps on sublanes: per-tap rows are STATIC sublane slices —
+               per-tap lane slices cost ~500 cycles each on this VPU)
+    out_ref:   (1, QBLOCK, D)
+    s_ref:     (TILE, QBLOCK) f32 scratch — transposed scatter matrix
+    acc_ref:   (QBLOCK, D) f32 scratch — output accumulator
+    (scratch refs keep the tap unroll in two fixed VMEM buffers; an SSA
+    accumulation chain blows the Mosaic stack at encoder scale)
     """
     D = value_ref.shape[1]
-    n_tiles = l_pad // TILE
 
-    acc0 = jnp.zeros((D, QBLOCK), jnp.float32)
+    idx = idx_ref[0]          # (n_taps, 128q) int32
+    w = w_ref[0]              # (n_taps, 128q) f32
+    live = w != 0.0
+    sel = jnp.where(live, idx, idx[0, 0])
+    tmin = jnp.min(sel) // TILE
+    tmax = jnp.max(sel) // TILE
 
-    def tap_body(t, acc):
-        row_idx = idx_ref[0, t, :].reshape(1, QBLOCK)      # (1, 128) int32
-        row_w = w_ref[0, t, :].reshape(1, QBLOCK)          # (1, 128) f32
-        live = row_w != 0.0
-        # dynamic tile range for this tap (masked-out taps contribute the
-        # full range of a single tile so the loop stays cheap)
-        sel = jnp.where(live, row_idx, row_idx[0, 0])
-        tmin = jnp.min(sel) // TILE
-        tmax = jnp.max(sel) // TILE
+    # S is built transposed: source positions on sublanes, queries on lanes
+    srclane = jax.lax.broadcasted_iota(jnp.int32, (TILE, QBLOCK), 0)
+    acc_ref[:] = jnp.zeros((QBLOCK, D), jnp.float32)
 
-        def tile_body(tt, acc):
-            src = value_ref[0, :, pl.ds(tt * TILE, TILE)]   # (D, 128)
-            local = row_idx - tt * TILE
-            ok = (local >= 0) & (local < TILE)
-            localc = jnp.clip(local, 0, TILE - 1)
-            g = jnp.take_along_axis(
-                src.astype(jnp.float32),
-                jnp.broadcast_to(localc, (D, QBLOCK)),
-                axis=1,
-            )
-            contrib = jnp.where(ok, row_w, 0.0)             # (1, 128)
-            return acc + g * contrib
+    def tile_body(tt, _):
+        src_t = value_ref[0, :, pl.ds(tt * TILE, TILE)]  # (D, 128)
+        base = tt * TILE
 
-        return jax.lax.fori_loop(tmin, tmax + 1, tile_body, acc)
+        # chunked accumulation: short SSA chains stay in vector registers
+        # (a full 64-tap chain spills to the Mosaic stack and OOMs VMEM; a
+        # per-tap s_ref round trip is VMEM-bandwidth-bound)
+        CH = 8
+        s_ref[:] = jnp.zeros((TILE, QBLOCK), jnp.float32)
+        for c in range(0, n_taps, CH):
+            part = jnp.zeros((TILE, QBLOCK), jnp.float32)
+            for t in range(c, min(c + CH, n_taps)):
+                it = idx[t : t + 1, :] - base      # (1, 128q) static sublane row
+                wt = w[t : t + 1, :]               # (1, 128q)
+                part = part + jnp.where(srclane == it, wt, 0.0)
+            s_ref[:] = s_ref[:] + part
 
-    acc = jax.lax.fori_loop(0, n_taps, tap_body, acc0)
-    out_ref[0] = acc.astype(out_ref.dtype)
+        # HIGHEST precision: Mosaic's single-pass matmul is bf16 and loses
+        # ~1e-2 relative accuracy on f32 inputs; multi-pass restores f32.
+        # acc[q, d] += sum_src S_T[src, q] * V_T[d, src]
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            s_ref[:], src_t.astype(jnp.float32),
+            dimension_numbers=(((0,), (1,)), ((), ())),  # contract positions
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _msda_pallas_fwd_impl(
     value_t: jnp.ndarray,   # (BH, D, L_pad)
-    idx: jnp.ndarray,       # (BH, n_taps, Q_pad) int32
-    w: jnp.ndarray,         # (BH, n_taps, Q_pad) f32
-) -> jnp.ndarray:           # (BH, D, Q_pad)
+    idx: jnp.ndarray,       # (BH, Q_pad, n_taps) int32
+    w: jnp.ndarray,         # (BH, Q_pad, n_taps) f32
+) -> jnp.ndarray:           # (BH, Q_pad, D)
     BH, D, L_pad = value_t.shape
     _, n_taps, Q_pad = idx.shape
     nqb = Q_pad // QBLOCK
@@ -110,14 +130,18 @@ def _msda_pallas_fwd_impl(
             pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, D, QBLOCK), lambda bh, qb: (bh, 0, qb),
+        out_specs=pl.BlockSpec((1, QBLOCK, D), lambda bh, qb: (bh, qb, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, D, Q_pad), value_t.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, Q_pad, D), value_t.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, QBLOCK), jnp.float32),
+            pltpu.VMEM((QBLOCK, D), jnp.float32),
+        ],
     )(value_t, idx, w)
 
 
 def _prepare(value, spatial_shapes, sampling_locations, attention_weights):
-    """Compute kernel-layout corner indices/weights + transposed value."""
+    """Kernel-layout corner indices/weights + padded value."""
     B, L, H, D = value.shape
     _, Q, _, NL, P, _ = sampling_locations.shape
 
@@ -127,7 +151,7 @@ def _prepare(value, spatial_shapes, sampling_locations, attention_weights):
     w = bw * attention_weights.astype(jnp.float32)[..., None]
 
     n_taps = NL * P * 4
-    # (B, Q, H, NL, P, 4) -> (B, H, taps, Q)
+    # (B, Q, H, NL, P, 4) -> (B*H, taps, Q)
     idx_k = jnp.transpose(idx, (0, 2, 3, 4, 5, 1)).reshape(B * H, n_taps, Q)
     w_k = jnp.transpose(w, (0, 2, 3, 4, 5, 1)).reshape(B * H, n_taps, Q)
 
@@ -156,9 +180,9 @@ def ms_deform_attn_pallas(
     value_t, idx_k, w_k, Q_pad = _prepare(
         value, spatial_shapes, sampling_locations, attention_weights
     )
-    out_t = _msda_pallas_fwd_impl(value_t, idx_k, w_k)  # (BH, D, Q_pad)
-    out = out_t.reshape(B, H, D, Q_pad)[:, :, :, :Q]
-    return jnp.transpose(out, (0, 3, 1, 2)).reshape(B, Q, H * D)
+    out = _msda_pallas_fwd_impl(value_t, idx_k, w_k)  # (BH, Q_pad, D)
+    out = out.reshape(B, H, Q_pad, D)[:, :, :Q]
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, H * D)
 
 
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights):

@@ -140,24 +140,29 @@ def test_criterion_jit_and_grad():
     crit = SetCriterion(num_queries=Q)
     logits, boxes, gt_boxes, pos_maps, valid = _inputs(3)
 
+    # NOTE: device arrays are jit ARGUMENTS, not closures — closed-over
+    # device buffers trip an executable-cache bug on this backend
+    # ("Execution supplied N buffers but compiled program expected M").
     @jax.jit
-    def loss_fn(lg, bx):
-        total, _ = crit(
-            _outputs_from(lg, bx), jnp.asarray(gt_boxes),
-            jnp.asarray(pos_maps), jnp.asarray(valid),
-        )
+    def loss_fn(lg, bx, gtb, gpm, gv):
+        total, _ = crit(_outputs_from(lg, bx), gtb, gpm, gv)
         return total
 
-    g_lg, g_bx = jax.grad(lambda a, b: loss_fn(a, b), argnums=(0, 1))(
-        jnp.asarray(logits), jnp.asarray(boxes)
+    args = (
+        jnp.asarray(gt_boxes), jnp.asarray(pos_maps), jnp.asarray(valid)
+    )
+    g_lg, g_bx = jax.grad(loss_fn, argnums=(0, 1))(
+        jnp.asarray(logits), jnp.asarray(boxes), *args
     )
     assert np.isfinite(np.asarray(g_lg)).all()
     assert np.isfinite(np.asarray(g_bx)).all()
     # improving predictions lowers loss
-    l0 = float(loss_fn(jnp.asarray(logits), jnp.asarray(boxes)))
+    l0 = float(loss_fn(jnp.asarray(logits), jnp.asarray(boxes), *args))
     l1 = float(
         loss_fn(
-            jnp.asarray(logits) - 0.5 * g_lg, jnp.asarray(boxes) - 0.05 * g_bx
+            jnp.asarray(logits) - 0.5 * g_lg,
+            jnp.asarray(boxes) - 0.05 * g_bx,
+            *args,
         )
     )
     assert l1 < l0
