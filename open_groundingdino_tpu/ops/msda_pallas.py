@@ -40,6 +40,7 @@ Shapes = Tuple[Tuple[int, int], ...]
 
 QBLOCK = 128
 TILE = 128
+GROUP = 16  # taps per sweep group = points * corners (one feature level)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -66,44 +67,53 @@ def _msda_kernel(
 
     idx = idx_ref[0]          # (n_taps, 128q) int32
     w = w_ref[0]              # (n_taps, 128q) f32
-    live = w != 0.0
-    sel = jnp.where(live, idx, idx[0, 0])
-    tmin = jnp.min(sel) // TILE
-    tmax = jnp.max(sel) // TILE
 
     # S is built transposed: source positions on sublanes, queries on lanes
     srclane = jax.lax.broadcasted_iota(jnp.int32, (TILE, QBLOCK), 0)
     acc_ref[:] = jnp.zeros((QBLOCK, D), jnp.float32)
 
-    def tile_body(tt, _):
-        src_t = value_ref[0, :, pl.ds(tt * TILE, TILE)]  # (D, 128)
-        base = tt * TILE
+    # One sweep per GROUP of taps (one group per feature level): each level's
+    # taps are local to that level's slice of the concatenated map, so the
+    # per-group [min_tile, max_tile] range is narrow.  A single union range
+    # would always span the whole map (level 1 through level 4 indices).
+    for g0 in range(0, n_taps, GROUP):
+        g1 = min(g0 + GROUP, n_taps)
+        idx_g = idx[g0:g1, :]
+        w_g = w[g0:g1, :]
+        live = w_g != 0.0
+        sel = jnp.where(live, idx_g, idx_g[0, 0])
+        tmin = jnp.min(sel) // TILE
+        tmax = jnp.max(sel) // TILE
 
-        # chunked accumulation: short SSA chains stay in vector registers
-        # (a full 64-tap chain spills to the Mosaic stack and OOMs VMEM; a
-        # per-tap s_ref round trip is VMEM-bandwidth-bound)
-        CH = 8
-        s_ref[:] = jnp.zeros((TILE, QBLOCK), jnp.float32)
-        for c in range(0, n_taps, CH):
-            part = jnp.zeros((TILE, QBLOCK), jnp.float32)
-            for t in range(c, min(c + CH, n_taps)):
-                it = idx[t : t + 1, :] - base      # (1, 128q) static sublane row
-                wt = w[t : t + 1, :]               # (1, 128q)
-                part = part + jnp.where(srclane == it, wt, 0.0)
-            s_ref[:] = s_ref[:] + part
+        def tile_body(tt, _, g0=g0, g1=g1):
+            src_t = value_ref[0, :, pl.ds(tt * TILE, TILE)]  # (D, 128)
+            base = tt * TILE
 
-        # HIGHEST precision: Mosaic's single-pass matmul is bf16 and loses
-        # ~1e-2 relative accuracy on f32 inputs; multi-pass restores f32.
-        # acc[q, d] += sum_src S_T[src, q] * V_T[d, src]
-        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-            s_ref[:], src_t.astype(jnp.float32),
-            dimension_numbers=(((0,), (1,)), ((), ())),  # contract positions
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        return 0
+            # chunked accumulation: short SSA chains stay in vector
+            # registers (long chains spill to the Mosaic stack)
+            CH = 8
+            s_ref[:] = jnp.zeros((TILE, QBLOCK), jnp.float32)
+            for c in range(g0, g1, CH):
+                part = jnp.zeros((TILE, QBLOCK), jnp.float32)
+                for t in range(c, min(c + CH, g1)):
+                    it = idx[t : t + 1, :] - base  # (1, 128q) sublane row
+                    wt = w[t : t + 1, :]           # (1, 128q)
+                    part = part + jnp.where(srclane == it, wt, 0.0)
+                s_ref[:] = s_ref[:] + part
 
-    jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
+            # HIGHEST precision: Mosaic's single-pass matmul is bf16; the
+            # multi-pass variant restores f32 accuracy.
+            # acc[q, d] += sum_src S_T[src, q] * V_T[d, src]
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                s_ref[:], src_t.astype(jnp.float32),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
+
     out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 

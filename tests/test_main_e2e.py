@@ -1,18 +1,36 @@
-"""End-to-end driver test: `main.py` trains 2 debug steps + runs COCO eval on
+"""End-to-end driver test: `main.py` trains debug steps + runs COCO eval on
 synthetic data with a nano config — the full user path (config -> datasets
 manifest -> loader -> jitted train step -> orbax checkpoint -> eval ->
-stats)."""
+stats).
+
+Runs main.py as a SUBPROCESS: it is an honest CLI test, and running main()
+in-process corrupts jax's executable cache for later tests on this stack
+("Execution supplied N buffers but compiled program expected M").
+"""
 import json
 import os
+import subprocess
 import sys
 
 import numpy as np
 import pytest
 from PIL import Image
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-import main as main_mod
+
+def _run_main(args):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py")] + args,
+        capture_output=True, text=True, timeout=1200, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
 
 VOCAB = "[PAD] [UNK] [CLS] [SEP] [MASK] . ? dog cat bird".split()
 
@@ -92,7 +110,7 @@ def workspace(tmp_path_factory):
 def test_main_train_and_eval(workspace):
     d = workspace
     out_dir = str(d / "out")
-    cli = main_mod.get_args_parser().parse_args(
+    _run_main(
         [
             "-c", str(d / "cfg_tiny.py"),
             "--datasets", str(d / "datasets.json"),
@@ -101,7 +119,6 @@ def test_main_train_and_eval(workspace):
             "--debug",
         ]
     )
-    main_mod.main(cli)
 
     # artifacts: config snapshot, per-epoch log with train + eval stats,
     # checkpoint directory
@@ -113,8 +130,8 @@ def test_main_train_and_eval(workspace):
     ckpts = [n for n in os.listdir(out_dir) if n.startswith("checkpoint_")]
     assert ckpts, os.listdir(out_dir)
 
-    # eval-only path reuses the checkpointed params
-    cli2 = main_mod.get_args_parser().parse_args(
+    # eval-only path
+    _run_main(
         [
             "-c", str(d / "cfg_tiny.py"),
             "--datasets", str(d / "datasets.json"),
@@ -123,7 +140,6 @@ def test_main_train_and_eval(workspace):
             "--eval", "--debug",
         ]
     )
-    main_mod.main(cli2)
     with open(os.path.join(str(d / "out_eval"), "eval_stats.json")) as f:
         stats = json.load(f)
     assert "AP" in stats
