@@ -50,7 +50,7 @@ def main():
         bert_cfg=BertConfig(),
         hidden_dim=256, num_queries=900, nheads=8, num_feature_levels=4,
         enc_layers=6, dec_layers=6, dim_feedforward=2048, max_text_len=T,
-        msda_impl="xla",
+        msda_impl="auto",
     )
 
     rng = np.random.RandomState(0)
@@ -90,7 +90,10 @@ def main():
             position_ids=position_ids,
             text_self_attention_masks=text_self_attention_masks,
         )
-        return out["pred_logits"], out["pred_boxes"]
+        # scalar checksum: fetched to host as the timing fence
+        # (block_until_ready does not reliably fence on the axon runtime)
+        chk = jnp.sum(out["pred_boxes"].astype(jnp.float32))
+        return out["pred_logits"], out["pred_boxes"], chk
 
     args = (
         params, jnp.asarray(inputs["images"]), jnp.asarray(inputs["image_sizes"]),
@@ -101,12 +104,12 @@ def main():
 
     for _ in range(warmup):
         out = fwd(*args)
-    jax.block_until_ready(out)
+    float(out[2])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(*args)
-    jax.block_until_ready(out)
+    float(out[2])  # host fetch fences the device queue
     dt = time.perf_counter() - t0
 
     ips = B * iters / dt

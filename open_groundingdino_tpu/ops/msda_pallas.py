@@ -40,7 +40,7 @@ Shapes = Tuple[Tuple[int, int], ...]
 
 QBLOCK = 128
 TILE = 128
-GROUP = 16  # taps per sweep group = points * corners (one feature level)
+GROUP = 16  # taps per sweep group (16 = one level; scalar min/max per group costs ~9us, so fewer groups wins)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -66,9 +66,12 @@ def _msda_kernel(
     D = value_ref.shape[1]
 
     idx = idx_ref[0]          # (n_taps, 128q) int32
-    w = w_ref[0]              # (n_taps, 128q) f32
+    w = w_ref[0]              # (n_taps, 128q) f32 (bf16 in bf16 mode)
 
-    # S is built transposed: source positions on sublanes, queries on lanes
+    # S is built transposed: source positions on sublanes, queries on lanes.
+    # S stays f32: the v5e VPU supports neither 16-bit integer nor bf16
+    # compares, so the mask/select path is pinned to 32-bit tiling.
+    out16 = out_ref.dtype == jnp.bfloat16
     srclane = jax.lax.broadcasted_iota(jnp.int32, (TILE, QBLOCK), 0)
     acc_ref[:] = jnp.zeros((QBLOCK, D), jnp.float32)
 
@@ -78,10 +81,12 @@ def _msda_kernel(
     # would always span the whole map (level 1 through level 4 indices).
     for g0 in range(0, n_taps, GROUP):
         g1 = min(g0 + GROUP, n_taps)
-        idx_g = idx[g0:g1, :]
+        idx_g = idx[g0:g1, :].astype(jnp.int32)  # scalar min/max need 32-bit
         w_g = w[g0:g1, :]
         live = w_g != 0.0
-        sel = jnp.where(live, idx_g, idx_g[0, 0])
+        # dead taps (zero weight) take row 0's per-lane index so they don't
+        # widen the sweep range ((1,1) broadcasts are unsupported in Mosaic)
+        sel = jnp.where(live, idx_g, idx_g[0:1, :])
         tmin = jnp.min(sel) // TILE
         tmax = jnp.max(sel) // TILE
 
@@ -101,15 +106,24 @@ def _msda_kernel(
                     part = part + jnp.where(srclane == it, wt, 0.0)
                 s_ref[:] = s_ref[:] + part
 
-            # HIGHEST precision: Mosaic's single-pass matmul is bf16; the
-            # multi-pass variant restores f32 accuracy.
-            # acc[q, d] += sum_src S_T[src, q] * V_T[d, src]
-            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-                s_ref[:], src_t.astype(jnp.float32),
-                dimension_numbers=(((0,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
+            # acc[q, d] += sum_src S_T[src, q] * V_T[d, src].
+            # f32 mode uses the multi-pass (HIGHEST) matmul — Mosaic's
+            # single-pass rounds to bf16 (~1e-2 relative error); bf16 mode
+            # uses the fast single pass (weights round to bf16, same class
+            # of error the bf16 model already carries).
+            if out16:
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    s_ref[:].astype(jnp.bfloat16), src_t,
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    s_ref[:], src_t.astype(jnp.float32),
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
             return 0
 
         jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
@@ -164,6 +178,7 @@ def _prepare(value, spatial_shapes, sampling_locations, attention_weights):
     # (B, Q, H, NL, P, 4) -> (B*H, taps, Q)
     idx_k = jnp.transpose(idx, (0, 2, 3, 4, 5, 1)).reshape(B * H, n_taps, Q)
     w_k = jnp.transpose(w, (0, 2, 3, 4, 5, 1)).reshape(B * H, n_taps, Q)
+
 
     Q_pad = _round_up(Q, QBLOCK)
     if Q_pad != Q:

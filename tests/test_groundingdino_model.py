@@ -95,13 +95,17 @@ def test_loss_and_grad(model_and_params):
 
     crit = SetCriterion(num_queries=QN)
 
+    # device arrays enter as jit ARGUMENTS (closure-jits corrupt the
+    # executable cache for later tests on this stack; see test_main_e2e)
     @jax.jit
-    def loss_fn(p):
-        out = model.apply(p, **batch)
-        total, losses = crit(out, gt_boxes, jnp.asarray(pos_maps), gt_valid)
+    def loss_fn(p, b, gtb, gpm, gv):
+        out = model.apply(p, **b)
+        total, losses = crit(out, gtb, gpm, gv)
         return total, losses
 
-    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, batch, gt_boxes, jnp.asarray(pos_maps), gt_valid
+    )
     assert np.isfinite(float(total))
     assert "loss_ce_interm" in losses and "loss_giou_0" in losses
     flat = jax.tree_util.tree_leaves(grads)
