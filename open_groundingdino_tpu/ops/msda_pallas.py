@@ -210,6 +210,132 @@ def ms_deform_attn_pallas(
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, H * D)
 
 
+def _msda_bwd_kernel(
+    value_ref, idx_ref, w_ref, g_ref, gv_ref, gw_ref, s_ref,
+    *, n_taps: int, l_pad: int,
+):
+    """Backward pass.  Grid: (BH, NQB), same sweep structure as forward.
+
+    Per (query block, tile):
+      grad_V_T[:, tile] += dot(g_q, S_T)          — the scatter is a matmul
+                                                    (the CUDA backward's
+                                                    atomicAdd col2im,
+                                                    MXU-ified)
+      P[src, q] = dot(V_T[:, tile], g_q)          — corner-value x cotangent
+      grad_w[t, q] += sum_src [idx_t == src] * P  — per-tap weight grads
+
+    grad_V accumulates across query blocks by revisiting the same output
+    block over the sequential qb grid axis.  The chain rule from combined
+    corner weights to sampling locations / attention weights happens outside
+    in XLA (jax.vjp of the weight computation — pure elementwise).
+
+    gv_ref: (1, D, L_pad) f32 out — grad wrt transposed value
+    gw_ref: (1, n_taps, QBLOCK) f32 out — grad wrt combined tap weights
+    """
+    D = value_ref.shape[1]
+    qb = pl.program_id(1)
+
+    @pl.when(qb == 0)
+    def _():
+        gv_ref[0] = jnp.zeros_like(gv_ref[0])
+
+    idx = idx_ref[0]          # (n_taps, 128q) int32
+    w = w_ref[0]              # (n_taps, 128q) f32
+    g_q = g_ref[0].astype(jnp.float32)  # (128q, D)
+
+    srclane = jax.lax.broadcasted_iota(jnp.int32, (TILE, QBLOCK), 0)
+    gw_ref[0] = jnp.zeros((n_taps, QBLOCK), jnp.float32)
+
+    for g0 in range(0, n_taps, GROUP):
+        g1 = min(g0 + GROUP, n_taps)
+        idx_g = idx[g0:g1, :]
+        w_g = w[g0:g1, :]
+        live = w_g != 0.0
+        sel = jnp.where(live, idx_g, idx_g[0:1, :])
+        tmin = jnp.min(sel) // TILE
+        tmax = jnp.max(sel) // TILE
+
+        def tile_body(tt, _, g0=g0, g1=g1):
+            src_t = value_ref[0, :, pl.ds(tt * TILE, TILE)]  # (D, 128src)
+            base = tt * TILE
+
+            # ---- rebuild S_T and per-tap masks; accumulate grad_w ----
+            # P[src, q] = sum_d V[src, d] * g[q, d]
+            P = jax.lax.dot_general(
+                src_t.astype(jnp.float32), g_q,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (128src, 128q)
+
+            CH = 8
+            s_ref[:] = jnp.zeros((TILE, QBLOCK), jnp.float32)
+            for c in range(g0, g1, CH):
+                part = jnp.zeros((TILE, QBLOCK), jnp.float32)
+                for t in range(c, min(c + CH, g1)):
+                    it = idx[t : t + 1, :] - base   # (1, 128q)
+                    wt = w[t : t + 1, :]
+                    mask = srclane == it            # (128src, 128q)
+                    part = part + jnp.where(mask, wt, 0.0)
+                    # grad of the combined tap weight: value at the tap
+                    # position dotted with the cotangent
+                    gw_ref[0, t : t + 1, :] = gw_ref[0, t : t + 1, :] + jnp.sum(
+                        jnp.where(mask, P, 0.0), axis=0, keepdims=True
+                    )
+                s_ref[:] = s_ref[:] + part
+
+            # ---- scatter the cotangent into grad_value ----
+            # grad_V_T[d, src] += sum_q g[q, d] * S_T[src, q]
+            gv_ref[0, :, pl.ds(tt * TILE, TILE)] = gv_ref[
+                0, :, pl.ds(tt * TILE, TILE)
+            ] + jax.lax.dot_general(
+                g_q, s_ref[:],
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
+
+
+def _msda_pallas_bwd_impl(value_t, idx, w, g_k):
+    """value_t: (BH, D, L_pad); idx/w: (BH, taps, Q_pad); g_k: (BH, Q_pad, D)
+    -> (grad_value_t f32 (BH, D, L_pad), grad_w (BH, taps, Q_pad))."""
+    BH, D, L_pad = value_t.shape
+    _, n_taps, Q_pad = idx.shape
+    nqb = Q_pad // QBLOCK
+
+    kernel = functools.partial(_msda_bwd_kernel, n_taps=n_taps, l_pad=L_pad)
+    interpret = jax.devices()[0].platform != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(BH, nqb),
+        in_specs=[
+            pl.BlockSpec((1, D, L_pad), lambda bh, qb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QBLOCK, D), lambda bh, qb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, D, L_pad), lambda bh, qb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, D, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((BH, n_taps, Q_pad), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((TILE, QBLOCK), jnp.float32)],
+    )(value_t, idx, w, g_k)
+
+
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
     out = ms_deform_attn_pallas(
         value, spatial_shapes, sampling_locations, attention_weights
@@ -219,12 +345,38 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
 
 def _bwd(spatial_shapes, residuals, g):
     value, locs, attn = residuals
-    # backward through the XLA reference formulation (identical math)
-    _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_xla(v, spatial_shapes, l, a),
-        value, locs, attn,
-    )
-    return vjp(g)
+    B, L, H, D = value.shape
+    Q = locs.shape[1]
+    NL, P = locs.shape[3], locs.shape[4]
+    n_taps = NL * P * 4
+
+    value_t, idx_k, w_k, Q_pad = _prepare(value, spatial_shapes, locs, attn)
+    # cotangent in kernel layout (BH, Q_pad, D)
+    g_k = jnp.transpose(
+        g.reshape(B, Q, H, D), (0, 2, 1, 3)
+    ).reshape(B * H, Q, D)
+    if Q_pad != Q:
+        g_k = jnp.pad(g_k, ((0, 0), (0, Q_pad - Q), (0, 0)))
+
+    gv_t, gw = _msda_pallas_bwd_impl(value_t, idx_k, w_k, g_k)
+
+    # grad wrt value: undo the transposed layout
+    gv = gv_t[:, :, :L].reshape(B, H, D, L)
+    grad_value = jnp.transpose(gv, (0, 3, 1, 2)).astype(value.dtype)
+
+    # chain rule: combined tap weights -> sampling locations + attention
+    # weights (pure elementwise XLA; bilinear weights are piecewise-linear
+    # in the locations, matching grid_sample subgradients)
+    def weights_fn(locs_, attn_):
+        _, bw = _corner_indices_and_weights(
+            locs_.astype(jnp.float32), spatial_shapes
+        )
+        w_ = bw * attn_.astype(jnp.float32)[..., None]
+        return jnp.transpose(w_, (0, 2, 3, 4, 5, 1)).reshape(B * H, n_taps, Q)
+
+    _, wvjp = jax.vjp(weights_fn, locs, attn)
+    grad_locs, grad_attn = wvjp(gw[:, :, :Q])
+    return grad_value, grad_locs, grad_attn
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)

@@ -47,6 +47,27 @@ def parse_manifest(path: str) -> List[Dict]:
     return rows
 
 
+def run_ab_eval(
+    forward_fns: Dict[str, object],
+    collator: Collator,
+    manifest_rows: Sequence[Dict],
+    label_list: Sequence[str],
+    out_dir: str = "test_results",
+    **kwargs,
+) -> Dict[str, Dict]:
+    """A/B checkpoint comparison (reference test_inference_ab.py): run the
+    same manifest through several models, one CSV per tag, return summaries
+    keyed by tag."""
+    os.makedirs(out_dir, exist_ok=True)
+    results = {}
+    for tag, fn in forward_fns.items():
+        results[tag] = run_batch_eval(
+            fn, collator, manifest_rows, label_list,
+            out_csv=os.path.join(out_dir, f"{tag}.csv"), **kwargs,
+        )
+    return results
+
+
 def run_batch_eval(
     forward_fn,                 # (batch dict) -> {"scores","boxes" per crop}
     collator: Collator,
