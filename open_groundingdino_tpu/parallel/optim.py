@@ -12,7 +12,36 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 import optax
+
+
+def safe_global_norm(tree) -> jnp.ndarray:
+    """Overflow-safe global L2 norm: at a fresh random init individual
+    gradients can be ~1e19 (finite) and the naive f32 sum of squares
+    overflows to inf, which makes clip_by_global_norm zero every update and
+    silently stall training.  Rescale by the global max first."""
+    leaves = [jnp.asarray(g, jnp.float32) for g in jax.tree_util.tree_leaves(tree)]
+    if not leaves:
+        return jnp.zeros(())
+    gmax = jnp.maximum(
+        jnp.asarray(1e-30, jnp.float32),
+        jnp.max(jnp.stack([jnp.max(jnp.abs(g)) for g in leaves])),
+    )
+    ssq = sum(jnp.sum((g / gmax) ** 2) for g in leaves)
+    return gmax * jnp.sqrt(ssq)
+
+
+def safe_clip_by_global_norm(max_norm: float) -> optax.GradientTransformation:
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        norm = safe_global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-30))
+        return jax.tree_util.tree_map(lambda g: g * scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _label_for_path(path: str, backbone_keys: Sequence[str], proj_keys: Sequence[str]) -> str:
@@ -92,7 +121,7 @@ def make_optimizer(
         },
         labels,
     )
-    return optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+    return optax.chain(safe_clip_by_global_norm(clip_max_norm), tx)
 
 
 def make_lr_schedule(args, steps_per_epoch: int):

@@ -82,7 +82,8 @@ def make_train_step(model, criterion, compute_dtype=None) -> Callable:
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["loss"] = total
-        metrics["grad_norm"] = optax.global_norm(grads)
+        from ..parallel.optim import safe_global_norm
+        metrics["grad_norm"] = safe_global_norm(grads)
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state
         )

@@ -140,29 +140,47 @@ def test_criterion_jit_and_grad():
     crit = SetCriterion(num_queries=Q)
     logits, boxes, gt_boxes, pos_maps, valid = _inputs(3)
 
-    # NOTE: device arrays are jit ARGUMENTS, not closures — closed-over
-    # device buffers trip an executable-cache bug on this backend
-    # ("Execution supplied N buffers but compiled program expected M").
-    @jax.jit
+    # NOTE: jit only the OUTERMOST transform, with device arrays as
+    # arguments.  Reusing one jitted callable both under grad and directly
+    # trips a jax-0.9.0 executable-cache bug on this stack ("Execution
+    # supplied N buffers but compiled program expected M").
     def loss_fn(lg, bx, gtb, gpm, gv):
         total, _ = crit(_outputs_from(lg, bx), gtb, gpm, gv)
         return total
 
+    grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+    loss_jit = jax.jit(loss_fn)
+
     args = (
         jnp.asarray(gt_boxes), jnp.asarray(pos_maps), jnp.asarray(valid)
     )
-    g_lg, g_bx = jax.grad(loss_fn, argnums=(0, 1))(
-        jnp.asarray(logits), jnp.asarray(boxes), *args
-    )
+    g_lg, g_bx = grad_fn(jnp.asarray(logits), jnp.asarray(boxes), *args)
     assert np.isfinite(np.asarray(g_lg)).all()
     assert np.isfinite(np.asarray(g_bx)).all()
     # improving predictions lowers loss
-    l0 = float(loss_fn(jnp.asarray(logits), jnp.asarray(boxes), *args))
+    l0 = float(loss_jit(jnp.asarray(logits), jnp.asarray(boxes), *args))
     l1 = float(
-        loss_fn(
+        loss_jit(
             jnp.asarray(logits) - 0.5 * g_lg,
             jnp.asarray(boxes) - 0.05 * g_bx,
             *args,
         )
     )
     assert l1 < l0
+
+
+def test_safe_global_norm_no_overflow():
+    from open_groundingdino_tpu.parallel.optim import (
+        safe_clip_by_global_norm, safe_global_norm,
+    )
+    big = {"a": jnp.full((4, 4), 1e20, jnp.float32), "b": jnp.ones((3,))}
+    n = float(safe_global_norm(big))
+    assert np.isfinite(n) and n > 1e20
+    clip = safe_clip_by_global_norm(0.1)
+    state = clip.init(big)
+    clipped, _ = clip.update(big, state)
+    cn = float(safe_global_norm(clipped))
+    assert np.isfinite(cn) and abs(cn - 0.1) < 1e-3
+    # naive optax norm overflows on the same input
+    import optax
+    assert not np.isfinite(float(optax.global_norm(big)))

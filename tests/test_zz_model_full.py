@@ -1,6 +1,13 @@
 """End-to-end model integration: tiny GroundingDINO forward shapes, loss +
 gradient through the full stack (backbone -> fusion encoder -> two-stage ->
-decoder -> criterion with device-side Hungarian matching)."""
+decoder -> criterion with device-side Hungarian matching).
+
+Named test_zz_* to run LAST: compiling the full-model grad program corrupts
+jax-0.9.0's in-process executable cache for *later* unrelated jit programs
+("Execution supplied N buffers but compiled program expected M" on their
+second call) — a jaxlib fastpath/lifted-constant bug, contained by ordering.
+The production path is unaffected (main.py runs in its own process; repeated
+train_step calls are exercised by tests/test_train_step.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,15 +102,16 @@ def test_loss_and_grad(model_and_params):
 
     crit = SetCriterion(num_queries=QN)
 
-    # device arrays enter as jit ARGUMENTS (closure-jits corrupt the
-    # executable cache for later tests on this stack; see test_main_e2e)
-    @jax.jit
+    # jit only the OUTERMOST transform with device arrays as arguments
+    # (other patterns corrupt jax's executable cache for later tests on
+    # this stack; see test_matcher_criterion / test_main_e2e)
     def loss_fn(p, b, gtb, gpm, gv):
         out = model.apply(p, **b)
         total, losses = crit(out, gtb, gpm, gv)
         return total, losses
 
-    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+    vg_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    (total, losses), grads = vg_fn(
         params, batch, gt_boxes, jnp.asarray(pos_maps), gt_valid
     )
     assert np.isfinite(float(total))
