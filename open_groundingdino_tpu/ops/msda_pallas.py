@@ -21,8 +21,11 @@ is.  Corner indices/weights (grid_sample align_corners=False, zero padding)
 are precomputed by ops/msda._corner_indices_and_weights, so numerics match
 the XLA reference exactly at fp32.
 
-Backward: custom VJP falls back to the XLA formulation's autodiff (correct,
-slower); a mirrored scatter kernel is the planned optimization.
+Backward: a mirrored Pallas kernel — the grad_value scatter and the
+per-tap weight gradients are MXU matmuls over the same tile sweep
+(_msda_bwd_kernel); the chain rule from combined corner weights to sampling
+locations / attention weights runs as elementwise XLA (jax.vjp of the
+weight computation).
 """
 from __future__ import annotations
 
@@ -66,12 +69,11 @@ def _msda_kernel(
     D = value_ref.shape[1]
 
     idx = idx_ref[0]          # (n_taps, 128q) int32
-    w = w_ref[0]              # (n_taps, 128q) f32 (bf16 in bf16 mode)
+    w = w_ref[0]              # (n_taps, 128q) f32
 
     # S is built transposed: source positions on sublanes, queries on lanes.
     # S stays f32: the v5e VPU supports neither 16-bit integer nor bf16
     # compares, so the mask/select path is pinned to 32-bit tiling.
-    out16 = out_ref.dtype == jnp.bfloat16
     srclane = jax.lax.broadcasted_iota(jnp.int32, (TILE, QBLOCK), 0)
     acc_ref[:] = jnp.zeros((QBLOCK, D), jnp.float32)
 
@@ -107,23 +109,16 @@ def _msda_kernel(
                 s_ref[:] = s_ref[:] + part
 
             # acc[q, d] += sum_src S_T[src, q] * V_T[d, src].
-            # f32 mode uses the multi-pass (HIGHEST) matmul — Mosaic's
-            # single-pass rounds to bf16 (~1e-2 relative error); bf16 mode
-            # uses the fast single pass (weights round to bf16, same class
-            # of error the bf16 model already carries).
-            if out16:
-                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-                    s_ref[:].astype(jnp.bfloat16), src_t,
-                    dimension_numbers=(((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-                    s_ref[:], src_t.astype(jnp.float32),
-                    dimension_numbers=(((0,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
+            # Always the multi-pass (HIGHEST) matmul: Mosaic's single-pass
+            # rounds to bf16 (~1e-2 relative error) and, measured end to
+            # end, the extra f32->bf16 cast of S makes it *slower* than the
+            # multi-pass anyway.
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                s_ref[:], src_t.astype(jnp.float32),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
             return 0
 
         jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
