@@ -200,7 +200,22 @@ def ms_deform_attn_pallas(
     value_t, idx_k, w_k, Q_pad = _prepare(
         value, spatial_shapes, sampling_locations, attention_weights
     )
+
+    # Decoder-style query sets (Q != L) are spatially unsorted, so a
+    # 128-query block's tap range spans whole levels.  Sorting queries by
+    # their first tap index makes blocks local (measured ~10x fewer tile
+    # iterations per decoder layer); outputs are unsorted afterwards.
+    # Encoder self-attention (Q == L) is already raster-local.
+    sort_queries = Q != L
+    if sort_queries:
+        order = jnp.argsort(idx_k[:, 0, :], axis=1)          # (BH, Q_pad)
+        inv = jnp.argsort(order, axis=1)
+        idx_k = jnp.take_along_axis(idx_k, order[:, None, :], axis=2)
+        w_k = jnp.take_along_axis(w_k, order[:, None, :], axis=2)
+
     out = _msda_pallas_fwd_impl(value_t, idx_k, w_k)  # (BH, Q_pad, D)
+    if sort_queries:
+        out = jnp.take_along_axis(out, inv[:, :, None], axis=1)
     out = out.reshape(B, H, Q_pad, D)[:, :, :Q]
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, H * D)
 
@@ -353,7 +368,18 @@ def _bwd(spatial_shapes, residuals, g):
     if Q_pad != Q:
         g_k = jnp.pad(g_k, ((0, 0), (0, Q_pad - Q), (0, 0)))
 
+    # same query-locality sort as the forward (see ms_deform_attn_pallas)
+    sort_queries = Q != L
+    if sort_queries:
+        order = jnp.argsort(idx_k[:, 0, :], axis=1)
+        inv = jnp.argsort(order, axis=1)
+        idx_k = jnp.take_along_axis(idx_k, order[:, None, :], axis=2)
+        w_k = jnp.take_along_axis(w_k, order[:, None, :], axis=2)
+        g_k = jnp.take_along_axis(g_k, order[:, :, None], axis=1)
+
     gv_t, gw = _msda_pallas_bwd_impl(value_t, idx_k, w_k, g_k)
+    if sort_queries:
+        gw = jnp.take_along_axis(gw, inv[:, None, :], axis=2)
 
     # grad wrt value: undo the transposed layout
     gv = gv_t[:, :, :L].reshape(B, H, D, L)
