@@ -51,9 +51,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _msda_kernel(
-    value_ref, idx_ref, w_ref, out_ref, s_ref, acc_ref, *, n_taps: int, l_pad: int
+    ranges_ref, value_ref, idx_ref, w_ref, out_ref, s_ref, acc_ref,
+    *, n_taps: int, l_pad: int,
 ):
     """Grid: (BH, NQB).
+    ranges_ref: scalar-prefetch (BH*NQB*n_groups*2,) int32 — per-(block,
+               group) [tmin, tmax] tile ranges, precomputed in XLA.  In-kernel
+               vector min/max + scalar extraction measured ~1.8us per group;
+               SMEM reads are ~free.
     value_ref: (1, D, L_pad)      — this (b, h)'s value map, spatial in lanes
                                      (D in lanes would pad 32->128, 4x VMEM)
     idx_ref:   (1, n_taps, QBLOCK) int32 — flat corner index per tap/query
@@ -67,6 +72,10 @@ def _msda_kernel(
     accumulation chain blows the Mosaic stack at encoder scale)
     """
     D = value_ref.shape[1]
+    n_groups = -(-n_taps // GROUP)
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
 
     idx = idx_ref[0]          # (n_taps, 128q) int32
     w = w_ref[0]              # (n_taps, 128q) f32
@@ -81,16 +90,11 @@ def _msda_kernel(
     # taps are local to that level's slice of the concatenated map, so the
     # per-group [min_tile, max_tile] range is narrow.  A single union range
     # would always span the whole map (level 1 through level 4 indices).
-    for g0 in range(0, n_taps, GROUP):
+    rbase = (bh * nqb + qb) * n_groups * 2
+    for gi, g0 in enumerate(range(0, n_taps, GROUP)):
         g1 = min(g0 + GROUP, n_taps)
-        idx_g = idx[g0:g1, :].astype(jnp.int32)  # scalar min/max need 32-bit
-        w_g = w[g0:g1, :]
-        live = w_g != 0.0
-        # dead taps (zero weight) take row 0's per-lane index so they don't
-        # widen the sweep range ((1,1) broadcasts are unsupported in Mosaic)
-        sel = jnp.where(live, idx_g, idx_g[0:1, :])
-        tmin = jnp.min(sel) // TILE
-        tmax = jnp.max(sel) // TILE
+        tmin = ranges_ref[rbase + 2 * gi]
+        tmax = ranges_ref[rbase + 2 * gi + 1]
 
         def tile_body(tt, _, g0=g0, g1=g1):
             src_t = value_ref[0, :, pl.ds(tt * TILE, TILE)]  # (D, 128)
@@ -137,26 +141,55 @@ def _msda_pallas_fwd_impl(
 
     kernel = functools.partial(_msda_kernel, n_taps=n_taps, l_pad=L_pad)
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests
-    return pl.pallas_call(
-        kernel,
-        interpret=interpret,
+    ranges = _tile_ranges(idx, w, nqb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(BH, nqb),
         in_specs=[
-            pl.BlockSpec((1, D, L_pad), lambda bh, qb: (bh, 0, 0),
+            pl.BlockSpec((1, D, L_pad), lambda bh, qb, r: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb: (bh, 0, qb),
+            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb: (bh, 0, qb),
+            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, QBLOCK, D), lambda bh, qb: (bh, qb, 0),
+        out_specs=pl.BlockSpec((1, QBLOCK, D), lambda bh, qb, r: (bh, qb, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, Q_pad, D), value_t.dtype),
         scratch_shapes=[
             pltpu.VMEM((TILE, QBLOCK), jnp.float32),
             pltpu.VMEM((QBLOCK, D), jnp.float32),
         ],
-    )(value_t, idx, w)
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, Q_pad, D), value_t.dtype),
+    )(ranges, value_t, idx, w)
+
+
+def _tile_ranges(idx: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
+    """Per-(block, tap-group) [tmin, tmax] tile ranges, computed vectorized
+    in XLA and handed to the kernel as scalar-prefetch.
+    idx/w: (BH, n_taps, Q_pad) -> (BH*nqb*n_groups*2,) int32."""
+    BH, n_taps, Q_pad = idx.shape
+    n_groups = -(-n_taps // GROUP)
+    pad_taps = n_groups * GROUP - n_taps
+    if pad_taps:
+        idx = jnp.pad(idx, ((0, 0), (0, pad_taps), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, pad_taps), (0, 0)))
+    # dead taps (zero weight / group padding) take the group's first live-ish
+    # row per lane so they don't widen the range
+    live = w != 0.0
+    g_idx = idx.reshape(BH, n_groups, -1, nqb, QBLOCK)
+    g_live = live.reshape(BH, n_groups, -1, nqb, QBLOCK)
+    fill = g_idx[:, :, 0:1]
+    sel = jnp.where(g_live, g_idx, fill)
+    tmin = jnp.min(sel, axis=(2, 4)) // TILE          # (BH, n_groups, nqb)
+    tmax = jnp.max(sel, axis=(2, 4)) // TILE
+    ranges = jnp.stack([tmin, tmax], axis=-1)          # (BH, n_groups, nqb, 2)
+    ranges = jnp.transpose(ranges, (0, 2, 1, 3))       # (BH, nqb, n_groups, 2)
+    return ranges.reshape(-1).astype(jnp.int32)
 
 
 def _prepare(value, spatial_shapes, sampling_locations, attention_weights):
@@ -221,7 +254,7 @@ def ms_deform_attn_pallas(
 
 
 def _msda_bwd_kernel(
-    value_ref, idx_ref, w_ref, g_ref, gv_ref, gw_ref, s_ref,
+    ranges_ref, value_ref, idx_ref, w_ref, g_ref, gv_ref, gw_ref, s_ref,
     *, n_taps: int, l_pad: int,
 ):
     """Backward pass.  Grid: (BH, NQB), same sweep structure as forward.
@@ -243,7 +276,10 @@ def _msda_bwd_kernel(
     gw_ref: (1, n_taps, QBLOCK) f32 out — grad wrt combined tap weights
     """
     D = value_ref.shape[1]
+    n_groups = -(-n_taps // GROUP)
+    bh = pl.program_id(0)
     qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
 
     @pl.when(qb == 0)
     def _():
@@ -256,14 +292,11 @@ def _msda_bwd_kernel(
     srclane = jax.lax.broadcasted_iota(jnp.int32, (TILE, QBLOCK), 0)
     gw_ref[0] = jnp.zeros((n_taps, QBLOCK), jnp.float32)
 
-    for g0 in range(0, n_taps, GROUP):
+    rbase = (bh * nqb + qb) * n_groups * 2
+    for gi, g0 in enumerate(range(0, n_taps, GROUP)):
         g1 = min(g0 + GROUP, n_taps)
-        idx_g = idx[g0:g1, :]
-        w_g = w[g0:g1, :]
-        live = w_g != 0.0
-        sel = jnp.where(live, idx_g, idx_g[0:1, :])
-        tmin = jnp.min(sel) // TILE
-        tmax = jnp.max(sel) // TILE
+        tmin = ranges_ref[rbase + 2 * gi]
+        tmax = ranges_ref[rbase + 2 * gi + 1]
 
         def tile_body(tt, _, g0=g0, g1=g1):
             src_t = value_ref[0, :, pl.ds(tt * TILE, TILE)]  # (D, 128src)
@@ -318,32 +351,37 @@ def _msda_pallas_bwd_impl(value_t, idx, w, g_k):
 
     kernel = functools.partial(_msda_bwd_kernel, n_taps=n_taps, l_pad=L_pad)
     interpret = jax.devices()[0].platform != "tpu"
-    return pl.pallas_call(
-        kernel,
-        interpret=interpret,
+    ranges = _tile_ranges(idx, w, nqb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(BH, nqb),
         in_specs=[
-            pl.BlockSpec((1, D, L_pad), lambda bh, qb: (bh, 0, 0),
+            pl.BlockSpec((1, D, L_pad), lambda bh, qb, r: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb: (bh, 0, qb),
+            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb: (bh, 0, qb),
+            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QBLOCK, D), lambda bh, qb: (bh, qb, 0),
+            pl.BlockSpec((1, QBLOCK, D), lambda bh, qb, r: (bh, qb, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, D, L_pad), lambda bh, qb: (bh, 0, 0),
+            pl.BlockSpec((1, D, L_pad), lambda bh, qb, r: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb: (bh, 0, qb),
+            pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((TILE, QBLOCK), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((BH, D, L_pad), jnp.float32),
             jax.ShapeDtypeStruct((BH, n_taps, Q_pad), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((TILE, QBLOCK), jnp.float32)],
-    )(value_t, idx, w, g_k)
+    )(ranges, value_t, idx, w, g_k)
 
 
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
