@@ -92,6 +92,7 @@ def load_model(
                 num_feature_levels=args.num_feature_levels,
                 enc_layers=args.enc_layers,
                 dec_layers=args.dec_layers,
+                bert_layers=int(getattr(args, "bert_layers", 12)),
             )
         else:
             params = restore_checkpoint(checkpoint_path)

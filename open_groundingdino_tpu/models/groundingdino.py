@@ -199,6 +199,7 @@ def build_groundingdino(args) -> GroundingDINO:
         num_hidden_layers=int(getattr(args, "bert_layers", 12)),
         num_attention_heads=int(getattr(args, "bert_heads", 12)),
         intermediate_size=int(getattr(args, "bert_intermediate", 3072)),
+        max_position_embeddings=int(getattr(args, "bert_max_position", 512)),
         hidden_dropout_prob=float(getattr(args, "text_dropout", 0.0)),
         attention_probs_dropout_prob=float(getattr(args, "text_dropout", 0.0)),
     )
