@@ -41,7 +41,7 @@ from .msda import _corner_indices_and_weights, ms_deform_attn_xla
 
 Shapes = Tuple[Tuple[int, int], ...]
 
-QBLOCK = 256
+QBLOCK = 128
 TILE = 128
 GROUP = 16  # taps per sweep group = one level; finer groups lose to per-tile-iteration fixed costs (GROUP=4 measured 2.2x slower e2e)
 
