@@ -107,3 +107,23 @@ def test_frozen_params_do_not_update():
     fm_before = np.asarray(params["feat_map"]["kernel"])
     fm_after = np.asarray(new_state.params["feat_map"]["kernel"])
     assert np.abs(fm_before - fm_after).max() > 0
+
+
+def test_bf16_train_step():
+    """Mixed-precision step: fp32 params, bf16 compute."""
+    mesh = make_mesh()
+    model = _tiny_model()
+    batch = _batch(2)
+    init_batch = {
+        k: v for k, v in batch.items()
+        if k not in ("gt_boxes", "gt_pos_maps", "gt_valid")
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), **init_batch)["params"]
+    tx = make_optimizer(params, lr=1e-3, lr_backbone=1e-4)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, crit := SetCriterion(num_queries=QN),
+                                   compute_dtype=jnp.bfloat16))
+    new_state, metrics = step(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics["loss"]))
+    # params remain fp32 masters
+    assert new_state.params["feat_map"]["kernel"].dtype == jnp.float32
