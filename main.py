@@ -89,6 +89,7 @@ def main(cli):
         TrainState, make_eval_step, make_train_step,
     )
     from open_groundingdino_tpu.utils import checkpoint as ckpt_utils
+    from open_groundingdino_tpu.utils.ema import BestMetricHolder
     from open_groundingdino_tpu.utils.logger import setup_logger
 
     if jax.process_count() > 1:
@@ -216,6 +217,7 @@ def main(cli):
     state = replicate_tree(state, mesh)
     train_step = jax.jit(make_train_step(model, crit), donate_argnums=(0,))
 
+    best = BestMetricHolder()
     for epoch in range(start_epoch, int(args.epochs)):
         train_loader.set_epoch(epoch)
         t0 = time.time()
@@ -239,8 +241,19 @@ def main(cli):
             val_dataset.coco, val_dataset.contiguous_to_catid, logger,
             max_steps=max_steps,
         )
+        if best.update(float(eval_stats.get("AP", -1.0)), epoch) and (
+            jax.process_index() == 0
+        ):
+            ckpt_utils.save_checkpoint(
+                os.path.join(cli.output_dir, "best"), 0,
+                {"state": jax.device_get(state), "epoch": epoch},
+            )
+            logger.info(f"new best AP {best.best_all:.4f} at epoch {epoch}")
         with open(os.path.join(cli.output_dir, "log.txt"), "a") as f:
-            f.write(json.dumps({"epoch": epoch, **stats, **eval_stats}) + "\n")
+            f.write(
+                json.dumps({"epoch": epoch, **stats, **eval_stats,
+                            "best_AP": best.best_all}) + "\n"
+            )
 
 
 if __name__ == "__main__":

@@ -173,3 +173,55 @@ def predict(
         ]
         phrases.append(im.tokenizer.decode(ids))
     return boxes_k, scores, phrases
+
+
+def predict_with_spans(
+    im: InferenceModel,
+    image: Image.Image,
+    caption: str,
+    token_spans,
+    box_threshold: float = 0.35,
+    size: int = 800,
+    max_size: int = 1333,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Given-phrase mode (reference tools/inference_on_a_image.py:116-142):
+    `token_spans` is a list of phrases, each a list of (beg, end) char spans
+    into the caption; each query is scored per phrase by the mean probability
+    over the phrase's tokens."""
+    from .data.vl_utils import create_positive_map_from_span
+
+    caption = preprocess_caption(caption)
+    sample = EvalTransform(size, max_size)(
+        Sample(image=image, boxes=np.zeros((0, 4), np.float32),
+               labels=np.zeros((0,), np.int64))
+    )
+    arr = normalize_image(sample.image)
+    images, image_sizes = im.bucketer.pad_batch([arr])
+
+    tok = im.tokenizer([caption], padding=im.max_text_len)
+    attn_mask, position_ids = generate_masks_with_special_tokens(
+        tok.input_ids, im.tokenizer.special_token_ids()
+    )
+    if "fwd" not in im._jitted:
+        im._jitted["fwd"] = im.forward_fn()
+    out = im._jitted["fwd"](
+        im.params, jnp.asarray(images), jnp.asarray(image_sizes),
+        jnp.asarray(tok.input_ids), jnp.asarray(tok.attention_mask.astype(bool)),
+        jnp.asarray(position_ids.astype(np.int32)), jnp.asarray(attn_mask),
+    )
+    logits = jax.nn.sigmoid(np.asarray(out["pred_logits"], np.float32))[0]
+    boxes = np.asarray(out["pred_boxes"], np.float32)[0]
+
+    pos_map = create_positive_map_from_span(tok, token_spans, im.max_text_len)
+    phrases_text = ["".join(caption[b:e] for b, e in spans) for spans in token_spans]
+
+    scores_per_phrase = logits @ pos_map.T  # (Q, n_phrases), rows normalized
+    all_boxes, all_scores, all_phrases = [], [], []
+    for p in range(scores_per_phrase.shape[1]):
+        keep = scores_per_phrase[:, p] > box_threshold
+        all_boxes.append(boxes[keep])
+        all_scores.append(scores_per_phrase[keep, p])
+        all_phrases.extend([phrases_text[p]] * int(keep.sum()))
+    boxes_k = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4))
+    scores_k = np.concatenate(all_scores) if all_scores else np.zeros((0,))
+    return boxes_k, scores_k, all_phrases

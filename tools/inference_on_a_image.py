@@ -33,15 +33,33 @@ def main():
     ap.add_argument("--output_dir", "-o", default="pred_out")
     ap.add_argument("--box_threshold", type=float, default=0.3)
     ap.add_argument("--text_threshold", type=float, default=0.25)
+    ap.add_argument(
+        "--token_spans", default=None,
+        help="given-phrase mode (reference inference_on_a_image.py:116-142): "
+             "python literal list of char-span lists, e.g. "
+             '"[[(0, 3)], [(6, 9)]]" — scores each phrase by its mean token '
+             "prob instead of thresholded max-token",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.output_dir, exist_ok=True)
     model = load_model(args.config_file, args.checkpoint_path, args.vocab)
     image = Image.open(args.image_path).convert("RGB")
-    boxes, scores, phrases = predict(
-        model, image, args.text_prompt,
-        box_threshold=args.box_threshold, text_threshold=args.text_threshold,
-    )
+    if args.token_spans is not None:
+        import ast
+
+        from open_groundingdino_tpu.inference import predict_with_spans
+
+        spans = ast.literal_eval(args.token_spans)
+        boxes, scores, phrases = predict_with_spans(
+            model, image, args.text_prompt, spans,
+            box_threshold=args.box_threshold,
+        )
+    else:
+        boxes, scores, phrases = predict(
+            model, image, args.text_prompt,
+            box_threshold=args.box_threshold, text_threshold=args.text_threshold,
+        )
 
     with open(os.path.join(args.output_dir, "pred.json"), "w") as f:
         json.dump(
