@@ -159,10 +159,12 @@ class DataLoader:
         for i in range(0, len(indices), self.batch_size):
             b = indices[i : i + self.batch_size]
             if len(b) < self.batch_size:
-                if self.drop_last:
+                if self.drop_last and batches:
                     continue
                 # pad to the static batch size (padded entries flagged via
-                # n_real; eval skips them)
+                # n_real; eval skips them).  A dataset smaller than one
+                # global batch still yields one padded batch even with
+                # drop_last — silently yielding nothing stalls training.
                 b = b + [b[-1]] * (self.batch_size - len(b))
                 batches.append((b, len(indices) - i))
             else:

@@ -122,7 +122,12 @@ class GroundingDINO(nn.Module):
             srcs.append(x)
 
         shapes: Shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
-        strides = tuple(8 * (2 ** i) for i in range(self.num_feature_levels))
+        # per-level strides follow the backbone's out_indices (stage i has
+        # stride 4*2^i); extra pyramid levels halve again
+        base = [4 * (2 ** i) for i in self.swin_cfg.out_indices]
+        while len(base) < self.num_feature_levels:
+            base.append(base[-1] * 2)
+        strides = tuple(base[: self.num_feature_levels])
         masks = make_level_masks(image_sizes, shapes, strides)
         poss = [
             position_embedding_sine_hw(
