@@ -103,6 +103,14 @@ def main(cli):
                 for kv in cli.options
             }
         )
+    # fail fast on malformed numeric overrides (--options epochs=abc would
+    # otherwise surface minutes later, after the first compile)
+    for key in ("epochs", "batch_size", "num_queries", "max_text_len",
+                "max_gt_boxes", "save_checkpoint_interval"):
+        int(args.get(key))
+    for key in ("lr", "lr_backbone", "weight_decay", "clip_max_norm"):
+        float(args.get(key))
+
     os.makedirs(cli.output_dir, exist_ok=True)
     args.dump(os.path.join(cli.output_dir, "config_cfg.py"))
     logger = setup_logger(cli.output_dir, process_index=jax.process_index())

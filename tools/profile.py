@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Profiler trace capture (the TPU-native analog of the reference's
+tools/benchmark.py timing harness; SURVEY.md section 5.1).
+
+    python tools/profile.py -c CONFIG -o trace_dir [--height 800 --width 1216]
+
+Writes a jax.profiler trace (xplane) viewable in TensorBoard/Perfetto.  On
+runtimes without profiling support the run still reports wall-clock timing.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_file", "-c", required=True)
+    ap.add_argument("--output_dir", "-o", default="trace_out")
+    ap.add_argument("--height", type=int, default=800)
+    ap.add_argument("--width", type=int, default=1216)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from open_groundingdino_tpu.config import SLConfig
+    from open_groundingdino_tpu.models.groundingdino import build_groundingdino
+
+    cfg = SLConfig.fromfile(args.config_file)
+    model = build_groundingdino(cfg)
+    B, H, W, T = args.batch, args.height, args.width, cfg.max_text_len
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1000, 20000, size=(B, T)).astype(np.int32)
+    ids[:, 0], ids[:, min(120, T - 1)] = 101, 102
+    inputs = dict(
+        images=rng.randn(B, H, W, 3).astype(np.float32),
+        image_sizes=np.asarray([[H, W]] * B, np.int32),
+        input_ids=ids,
+        text_token_mask=(np.arange(T)[None] < min(121, T)).repeat(B, 0),
+        position_ids=np.tile(np.arange(T, dtype=np.int32)[None], (B, 1)),
+        text_self_attention_masks=np.ones((B, T, T), bool),
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+
+    @jax.jit
+    def fwd(v, **kw):
+        out = model.apply(v, **kw)
+        return jnp.sum(out["pred_boxes"].astype(jnp.float32))
+
+    jargs = {k: jnp.asarray(v) for k, v in inputs.items()}
+    float(fwd(params, **jargs))  # warm + compile
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    traced = False
+    try:
+        with jax.profiler.trace(args.output_dir):
+            for _ in range(args.iters):
+                o = fwd(params, **jargs)
+            float(o)
+        traced = True
+    except Exception as e:  # profiling unsupported on some runtimes (axon)
+        print(f"profiler trace unavailable ({type(e).__name__}: {e}); "
+              "falling back to wall clock")
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        o = fwd(params, **jargs)
+    float(o)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"fwd: {dt * 1e3:.1f} ms/batch  ({args.batch / dt:.2f} img/s)"
+          + (f"; trace -> {args.output_dir}" if traced else ""))
+
+
+if __name__ == "__main__":
+    main()
