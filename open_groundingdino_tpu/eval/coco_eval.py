@@ -176,65 +176,52 @@ class CocoBboxEvaluator:
             if not recs:
                 continue
             for a, (aname, (amin, amax)) in enumerate(AREA_RANGES.items()):
+                # per-record tp/fp at full maxDets, computed ONCE per area
+                # range; per-maxDet views are prefixes (the hot loop used to
+                # redo this work per maxDet — 3x slower)
+                per_rec = []
+                npig = 0
+                for r in recs:
+                    g_area_ig = r["gt_ignore"] | (
+                        (r["gt_areas"] < amin) | (r["gt_areas"] > amax)
+                    )
+                    npig += int((~g_area_ig).sum())
+                    dt_m = r["dt_m"]                     # (T, D)
+                    matched = dt_m >= 0
+                    # vectorized matched-to-ignored lookup across thresholds
+                    gi = np.concatenate([g_area_ig, [False]])  # pad for -1
+                    matched_ig = gi[np.where(matched, dt_m, -1)]
+                    out_of_area = (r["det_areas"] < amin) | (
+                        r["det_areas"] > amax
+                    )
+                    dt_ig = np.where(matched, matched_ig, out_of_area[None])
+                    per_rec.append(
+                        (r["det_scores"], matched & ~dt_ig, ~matched & ~dt_ig)
+                    )
+                if npig == 0:
+                    continue
                 for m, max_det in enumerate(MAX_DETS):
-                    scores, tps, fps = [], [], []
-                    npig = 0
-                    for r in recs:
-                        g_ig = r["gt_ignore"] | (
-                            (r["gt_areas"] < amin) | (r["gt_areas"] > amax)
-                        )
-                        npig += int((~g_ig).sum())
-                        d_scores = r["det_scores"][:max_det]
-                        dt_m = r["dt_m"][:, :max_det]
-                        dt_ig_gt = r["dt_ig_gt"][:, :max_det]
-                        d_areas = r["det_areas"][:max_det]
-                        # det ignored if matched to (area-)ignored GT, or
-                        # unmatched and det outside the area range
-                        matched = dt_m >= 0
-                        matched_gt_area_ig = np.zeros_like(matched)
-                        for t in range(T):
-                            mi = dt_m[t]
-                            ok = mi >= 0
-                            if ok.any():
-                                ga = r["gt_areas"][mi[ok]]
-                                gi = (
-                                    r["gt_ignore"][mi[ok]]
-                                    | (ga < amin)
-                                    | (ga > amax)
-                                )
-                                matched_gt_area_ig[t, ok] = gi
-                        out_of_area = (d_areas < amin) | (d_areas > amax)
-                        dt_ig = np.where(
-                            matched, matched_gt_area_ig, out_of_area[None]
-                        )
-                        tp = matched & ~dt_ig
-                        fp = ~matched & ~dt_ig
-                        scores.append(d_scores)
-                        tps.append(tp)
-                        fps.append(fp)
-                    if npig == 0:
-                        continue
-                    scores = np.concatenate(scores)
-                    tps = np.concatenate(tps, axis=1)
-                    fps = np.concatenate(fps, axis=1)
+                    scores = np.concatenate([s[:max_det] for s, _, _ in per_rec])
+                    tps = np.concatenate(
+                        [tp[:, :max_det] for _, tp, _ in per_rec], axis=1
+                    )
+                    fps = np.concatenate(
+                        [fp[:, :max_det] for _, _, fp in per_rec], axis=1
+                    )
                     order = np.argsort(-scores, kind="mergesort")
                     tps = np.cumsum(tps[:, order], axis=1)
                     fps = np.cumsum(fps[:, order], axis=1)
+                    rc_all = tps / npig
+                    pr_all = tps / np.maximum(tps + fps, 1e-12)
+                    # precision envelope (monotone non-increasing), vectorized
+                    pr_env = np.maximum.accumulate(pr_all[:, ::-1], axis=1)[:, ::-1]
+                    n = rc_all.shape[1]
+                    self.recall[:, k, a, m] = rc_all[:, -1] if n else 0
                     for t in range(T):
-                        tp, fp = tps[t], fps[t]
-                        rc = tp / npig
-                        pr = tp / np.maximum(tp + fp, 1e-12)
-                        self.recall[t, k, a, m] = rc[-1] if len(rc) else 0
-                        # precision envelope (monotone non-increasing)
-                        pr = pr.tolist()
-                        for i in range(len(pr) - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
-                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        inds = np.searchsorted(rc_all[t], REC_THRS, side="left")
+                        valid_i = inds < n
                         q = np.zeros(R)
-                        for ri, pi in enumerate(inds):
-                            if pi < len(pr):
-                                q[ri] = pr[pi]
+                        q[valid_i] = pr_env[t, inds[valid_i]]
                         self.precision[t, :, k, a, m] = q
 
     # -- summarize ------------------------------------------------------------
