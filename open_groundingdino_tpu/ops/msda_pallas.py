@@ -192,20 +192,70 @@ def _tile_ranges(idx: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
     return ranges.reshape(-1).astype(jnp.int32)
 
 
+def _corner_indices_and_weights_t(locs_t, attn_t, spatial_shapes):
+    """Corner expansion computed directly in kernel layout.
+
+    locs_t: (BH, NL, P, 2, Q) f32; attn_t: (BH, NL, P, Q) f32.
+    Returns idx/w as (BH, NL*P*4, Q) — same values as
+    ops.msda._corner_indices_and_weights, but all intermediates live in the
+    small transposed layout (the (B, Q, H, NL, P, 4) formulation materializes
+    several 165 MB temporaries per call; profiling showed the prep path
+    costing ~40% as much as the kernel itself)."""
+    BH = locs_t.shape[0]
+    Q = locs_t.shape[-1]
+    level_start = 0
+    idx_parts, w_parts = [], []
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        px = locs_t[:, lvl, :, 0, :] * Wl - 0.5   # (BH, P, Q)
+        py = locs_t[:, lvl, :, 1, :] * Hl - 0.5
+        a = attn_t[:, lvl]                         # (BH, P, Q)
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        fx = px - x0
+        fy = py - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        cw = [
+            (1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy,
+        ]
+        xs = [x0i, x0i + 1, x0i, x0i + 1]
+        ys = [y0i, y0i, y0i + 1, y0i + 1]
+        idx_c, w_c = [], []
+        for c in range(4):
+            valid = (
+                (xs[c] >= 0) & (xs[c] <= Wl - 1)
+                & (ys[c] >= 0) & (ys[c] <= Hl - 1)
+            )
+            w_c.append(jnp.where(valid, cw[c] * a, 0.0))
+            idx_c.append(
+                level_start
+                + jnp.clip(ys[c], 0, Hl - 1) * Wl
+                + jnp.clip(xs[c], 0, Wl - 1)
+            )
+        # (BH, P, 4, Q)
+        idx_parts.append(jnp.stack(idx_c, axis=2))
+        w_parts.append(jnp.stack(w_c, axis=2))
+        level_start += Hl * Wl
+    idx = jnp.stack(idx_parts, axis=1).reshape(BH, -1, Q)
+    w = jnp.stack(w_parts, axis=1).reshape(BH, -1, Q)
+    return idx, w
+
+
 def _prepare(value, spatial_shapes, sampling_locations, attention_weights):
     """Kernel-layout corner indices/weights + padded value."""
     B, L, H, D = value.shape
     _, Q, _, NL, P, _ = sampling_locations.shape
-
-    idx, bw = _corner_indices_and_weights(
-        sampling_locations.astype(jnp.float32), spatial_shapes
-    )  # (B, Q, H, NL, P, 4)
-    w = bw * attention_weights.astype(jnp.float32)[..., None]
-
     n_taps = NL * P * 4
-    # (B, Q, H, NL, P, 4) -> (B*H, taps, Q)
-    idx_k = jnp.transpose(idx, (0, 2, 3, 4, 5, 1)).reshape(B * H, n_taps, Q)
-    w_k = jnp.transpose(w, (0, 2, 3, 4, 5, 1)).reshape(B * H, n_taps, Q)
+
+    # transpose the SMALL tensors into kernel layout first, then expand
+    locs_t = jnp.transpose(
+        sampling_locations.astype(jnp.float32), (0, 2, 3, 4, 5, 1)
+    ).reshape(B * H, NL, P, 2, Q)
+    attn_t = jnp.transpose(
+        attention_weights.astype(jnp.float32), (0, 2, 3, 4, 1)
+    ).reshape(B * H, NL, P, Q)
+    idx_k, w_k = _corner_indices_and_weights_t(locs_t, attn_t, spatial_shapes)
 
 
     Q_pad = _round_up(Q, QBLOCK)
