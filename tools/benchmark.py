@@ -60,7 +60,10 @@ def main():
 
     def fwd(variables, **inp):
         out = model.apply(variables, **inp)
-        return out["pred_logits"], out["pred_boxes"]
+        # scalar checksum fences timing (block_until_ready is unreliable
+        # on the axon runtime)
+        chk = jnp.sum(out["pred_boxes"].astype(jnp.float32))
+        return out["pred_logits"], out["pred_boxes"], chk
 
     jitted = jax.jit(fwd)
     lowered = jitted.lower(params, **inputs)
@@ -73,11 +76,11 @@ def main():
     jargs = {k: jnp.asarray(v) for k, v in inputs.items()}
     for _ in range(args.warmup):
         out = jitted(params, **jargs)
-    jax.block_until_ready(out)
+    float(out[2])
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = jitted(params, **jargs)
-    jax.block_until_ready(out)
+    float(out[2])
     dt = (time.perf_counter() - t0) / args.iters
 
     result = {
