@@ -82,9 +82,14 @@ def load_model(
     if checkpoint_path:
         if checkpoint_path.endswith((".pth", ".pt")):
             sd = load_torch_state_dict(checkpoint_path)
-            from .models.swin import SWIN_VARIANTS
+            if str(args.backbone).startswith("resnet"):
+                from .models.resnet import RESNET_VARIANTS
 
-            depths = tuple(SWIN_VARIANTS[args.backbone]["depths"])
+                depths = tuple(RESNET_VARIANTS[args.backbone]["depths"])
+            else:
+                from .models.swin import SWIN_VARIANTS
+
+                depths = tuple(SWIN_VARIANTS[args.backbone]["depths"])
             params = convert_groundingdino_checkpoint(
                 sd,
                 swin_depths=depths,

@@ -19,7 +19,7 @@ mirroring the reference's host-side tokenizer calls (groundingdino.py:237-257).
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from .bert import BertConfig, BertModel
 from .layers import contrastive_embed
 from .position_encoding import position_embedding_sine_hw
+from .resnet import ResNet, ResNetConfig
 from .swin import SwinConfig, SwinTransformer
 from .transformer import Transformer, make_level_masks
 
@@ -71,6 +72,9 @@ class GroundingDINO(nn.Module):
     use_text_cross_attention: bool = True
     msda_impl: str = "auto"
     aux_loss: bool = True
+    # when set, a ResNet trunk replaces Swin as the image backbone
+    # (reference backbone.py:182-196 selects by args.backbone name)
+    resnet_cfg: Optional[ResNetConfig] = None
 
     @nn.compact
     def __call__(
@@ -102,9 +106,14 @@ class GroundingDINO(nn.Module):
         }
 
         # ---- image tower -------------------------------------------------
-        feats: List[jnp.ndarray] = SwinTransformer(self.swin_cfg, name="backbone")(
-            images
-        )
+        if self.resnet_cfg is not None:
+            feats: List[jnp.ndarray] = ResNet(self.resnet_cfg, name="backbone")(
+                images
+            )
+            out_indices = self.resnet_cfg.out_indices
+        else:
+            feats = SwinTransformer(self.swin_cfg, name="backbone")(images)
+            out_indices = self.swin_cfg.out_indices
         num_backbone_outs = len(feats)
 
         srcs = []
@@ -123,8 +132,11 @@ class GroundingDINO(nn.Module):
 
         shapes: Shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
         # per-level strides follow the backbone's out_indices (stage i has
-        # stride 4*2^i); extra pyramid levels halve again
-        base = [4 * (2 ** i) for i in self.swin_cfg.out_indices]
+        # stride 4*2^i); extra pyramid levels halve again.  With ResNet
+        # last-stage dilation, stage 3 keeps stride 16.
+        base = [4 * (2 ** i) for i in out_indices]
+        if self.resnet_cfg is not None and self.resnet_cfg.dilation:
+            base = [s // 2 if i == 3 else s for s, i in zip(base, out_indices)]
         while len(base) < self.num_feature_levels:
             base.append(base[-1] * 2)
         strides = tuple(base[: self.num_feature_levels])
@@ -193,11 +205,22 @@ class GroundingDINO(nn.Module):
 def build_groundingdino(args) -> GroundingDINO:
     """Build from an SLConfig-style args namespace (reference
     groundingdino.py:726-806 registry entry)."""
-    swin_cfg = SwinConfig.from_name(
-        args.backbone,
-        out_indices=tuple(args.return_interm_indices),
-        use_checkpoint=bool(getattr(args, "use_checkpoint", False)),
-    )
+    resnet_cfg = None
+    swin_cfg = None
+    if str(args.backbone).startswith("resnet"):
+        # reference backbone.py:182-196: torchvision resnet50/101 trunk
+        resnet_cfg = ResNetConfig(
+            name=args.backbone,
+            out_indices=tuple(args.return_interm_indices),
+            dilation=bool(getattr(args, "dilation", False)),
+            use_checkpoint=bool(getattr(args, "use_checkpoint", False)),
+        )
+    else:
+        swin_cfg = SwinConfig.from_name(
+            args.backbone,
+            out_indices=tuple(args.return_interm_indices),
+            use_checkpoint=bool(getattr(args, "use_checkpoint", False)),
+        )
     bert_cfg = BertConfig(
         vocab_size=int(getattr(args, "bert_vocab_size", 30522)),
         hidden_size=int(getattr(args, "bert_hidden_size", 768)),
@@ -230,4 +253,5 @@ def build_groundingdino(args) -> GroundingDINO:
         use_text_cross_attention=bool(args.use_text_cross_attention),
         msda_impl=getattr(args, "msda_impl", "auto"),
         aux_loss=bool(args.aux_loss),
+        resnet_cfg=resnet_cfg,
     )

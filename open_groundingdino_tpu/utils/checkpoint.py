@@ -92,8 +92,13 @@ def convert_groundingdino_checkpoint(
     p["feat_map"] = tc.linear(sd, "feat_map")
 
     # --- backbone ---
-    swin_sd = tc.strip_prefix(sd, "backbone.0.")
-    p["backbone"] = tc.convert_swin_state_dict(swin_sd, swin_depths, out_indices)
+    if any(k.startswith("backbone.0.body.layer1.") for k in sd):
+        # ResNet trunk (reference wraps torchvision in BackboneBase.body)
+        rn_sd = tc.strip_prefix(sd, "backbone.0.body.")
+        p["backbone"] = tc.convert_resnet_state_dict(rn_sd, swin_depths)
+    else:
+        swin_sd = tc.strip_prefix(sd, "backbone.0.")
+        p["backbone"] = tc.convert_swin_state_dict(swin_sd, swin_depths, out_indices)
 
     # --- input projections (Sequential: .0 conv, .1 groupnorm) ---
     for l in range(num_feature_levels):

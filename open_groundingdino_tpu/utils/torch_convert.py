@@ -85,6 +85,42 @@ def convert_swin_state_dict(sd: Dict[str, np.ndarray], depths, out_indices) -> D
     return p
 
 
+def frozen_bn(sd: Dict, key: str) -> Dict:
+    """torchvision BN buffers -> models/resnet.FrozenBatchNorm params
+    (num_batches_tracked dropped, as reference backbone.py:50-56 does)."""
+    return {
+        "weight": _t(sd[f"{key}.weight"]),
+        "bias": _t(sd[f"{key}.bias"]),
+        "running_mean": _t(sd[f"{key}.running_mean"]),
+        "running_var": _t(sd[f"{key}.running_var"]),
+    }
+
+
+def convert_resnet_state_dict(sd: Dict[str, np.ndarray], depths) -> Dict:
+    """torchvision ResNet state_dict (keys like 'conv1.weight',
+    'layer1.0.downsample.0.weight') -> models/resnet.ResNet params."""
+    p: Dict = {
+        "conv1": conv2d(sd, "conv1"),
+        "frozen_bn1": frozen_bn(sd, "bn1"),
+    }
+    for i, depth in enumerate(depths):
+        for b in range(depth):
+            pre = f"layer{i + 1}.{b}"
+            blk = {
+                "conv1": conv2d(sd, f"{pre}.conv1"),
+                "frozen_bn1": frozen_bn(sd, f"{pre}.bn1"),
+                "conv2": conv2d(sd, f"{pre}.conv2"),
+                "frozen_bn2": frozen_bn(sd, f"{pre}.bn2"),
+                "conv3": conv2d(sd, f"{pre}.conv3"),
+                "frozen_bn3": frozen_bn(sd, f"{pre}.bn3"),
+            }
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["downsample_conv"] = conv2d(sd, f"{pre}.downsample.0")
+                blk["downsample_frozen_bn"] = frozen_bn(sd, f"{pre}.downsample.1")
+            p[f"layer{i + 1}_block{b}"] = blk
+    return p
+
+
 def convert_bert_state_dict(sd: Dict[str, np.ndarray], num_layers: int = 12) -> Dict:
     """HF BertModel state_dict (keys like 'embeddings.word_embeddings.weight',
     'encoder.layer.0.attention.self.query.weight') -> models/bert.BertModel
