@@ -135,6 +135,30 @@ def gen_encoder_output_proposals(
     return output_memory, output_proposals
 
 
+def _interleaved_query_order(spatial_shapes: Shapes) -> np.ndarray:
+    """Static spatially-interleaved order for the concatenated multi-level
+    encoder token sequence: all levels' tokens sorted together by normalized
+    (y, x) center.
+
+    Level-major order (the reference's flatten(2) concat) makes each
+    128-query kernel block of a *coarse* level span the whole image, so its
+    deformable-attention taps into the fine levels sweep the entire fine
+    value map.  Interleaving dilutes coarse tokens among the fine raster:
+    every block becomes a thin horizontal strip of the image across all
+    levels and its per-level tap ranges stay narrow (measured ~10-19% fewer
+    swept source tiles, distribution-dependent).  The permutation is a
+    trace-time constant — queries of deformable attention are independent,
+    so results are exact up to reordering."""
+    ky, kx = [], []
+    for (hl, wl) in spatial_shapes:
+        yy, xx = np.meshgrid(np.arange(hl), np.arange(wl), indexing="ij")
+        ky.append((yy.reshape(-1) + 0.5) / hl)
+        kx.append((xx.reshape(-1) + 0.5) / wl)
+    return np.lexsort(
+        (np.concatenate(kx), np.concatenate(ky))
+    ).astype(np.int32)
+
+
 class DeformableEncoderLayer(nn.Module):
     d_model: int
     d_ffn: int
@@ -145,11 +169,17 @@ class DeformableEncoderLayer(nn.Module):
     spatial_shapes: Shapes = ()
 
     @nn.compact
-    def __call__(self, src, pos, reference_points, key_padding_mask):
+    def __call__(self, src, pos, reference_points, key_padding_mask, value=None):
+        """value: tokens in level-major raster order for the deformable
+        value path; defaults to src.  When the encoder runs in interleaved
+        query order (see _interleaved_query_order), src/pos/reference_points
+        are permuted while value/key_padding_mask stay raster."""
+        if value is None:
+            value = src
         src2 = MSDeformAttn(
             self.d_model, self.n_heads, self.n_levels, self.n_points,
             impl=self.msda_impl, name="self_attn",
-        )(src + pos, src, reference_points, self.spatial_shapes, key_padding_mask)
+        )(src + pos, value, reference_points, self.spatial_shapes, key_padding_mask)
         src = nn.LayerNorm(name="norm1")(src + src2)
         h = nn.Dense(self.d_ffn, name="linear1")(src)
         h = nn.relu(h)
@@ -325,14 +355,31 @@ class Transformer(nn.Module):
             else DeformableEncoderLayer
         )
 
-        output = src
+        # run the encoder in spatially-interleaved query order so every
+        # Pallas kernel block is image-local across levels (exact — a pure
+        # static reordering of independent queries; unpermuted before
+        # returning).  The deformable *value* path stays level-major raster.
+        use_perm = self.msda_impl != "xla" and len(shapes) > 1
+        if use_perm:
+            perm_np = _interleaved_query_order(shapes)
+            perm = jnp.asarray(perm_np)
+            inv = jnp.asarray(np.argsort(perm_np).astype(np.int32))
+            take = lambda t, idx: jnp.take(t, idx, axis=1)
+            output = take(src, perm)
+            pos = take(pos, perm)
+            reference_points = take(reference_points, perm)
+            kpm_q = take(key_padding_mask, perm)  # query-order image mask
+        else:
+            output = src
+            kpm_q = key_padding_mask
+
         for i in range(self.num_encoder_layers):
             if self.use_fusion_layer:
                 output, memory_text = fusion_cls(
                     v_dim=self.d_model, l_dim=self.d_model,
                     embed_dim=self.dim_feedforward // 2, num_heads=self.nhead // 2,
                     name=f"fusion_{i}",
-                )(output, memory_text, key_padding_mask, text_pad)
+                )(output, memory_text, kpm_q, text_pad)
             if self.use_text_enhancer:
                 memory_text = TextEnhancerLayer(
                     d_model=self.d_model, nhead=self.nhead // 2,
@@ -343,12 +390,15 @@ class Transformer(nn.Module):
                     text_dict["text_self_attention_masks"],
                     text_dict["position_ids"],
                 )
+            value = take(output, inv) if use_perm else None
             output = enc_cls(
                 d_model=self.d_model, d_ffn=self.dim_feedforward,
                 n_levels=self.num_feature_levels, n_heads=self.nhead,
                 n_points=self.enc_n_points, msda_impl=self.msda_impl,
                 spatial_shapes=shapes, name=f"enc_layer_{i}",
-            )(output, pos, reference_points, key_padding_mask)
+            )(output, pos, reference_points, key_padding_mask, value)
+        if use_perm:
+            output = take(output, inv)
         return output, memory_text
 
     # ------------------------------------------------------------------
