@@ -143,3 +143,21 @@ def test_main_train_and_eval(workspace):
     with open(os.path.join(str(d / "out_eval"), "eval_stats.json")) as f:
         stats = json.load(f)
     assert "AP" in stats
+
+    # auto-resume path (reference main.py:348-381 semantics): rerunning with
+    # the same output_dir picks up the latest checkpoint and continues from
+    # the next epoch — with epochs raised to 2, exactly one more epoch runs.
+    _run_main(
+        [
+            "-c", str(d / "cfg_tiny.py"),
+            "--datasets", str(d / "datasets.json"),
+            "--output_dir", out_dir,
+            "--vocab", str(d / "vocab.txt"),
+            "--debug",
+            "--options", "epochs=2",
+        ]
+    )
+    with open(os.path.join(out_dir, "log.txt")) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    assert len(recs) == 2, recs  # epoch 0 (first run) + epoch 1 (resumed)
+    assert all(np.isfinite(r["loss"]) for r in recs)
