@@ -1,4 +1,5 @@
 """PAVE crop pipeline + metrics tests."""
+import os
 import numpy as np
 
 from open_groundingdino_tpu.pave import crop_utils
@@ -89,3 +90,39 @@ def test_summarize_and_sweep():
 
     e = evaluate_frames([pred], [gt])
     assert e["recall"] == 1.0
+
+
+def test_get_metrics_cli(tmp_path):
+    """tools/get_metrics.py end to end on a batch-eval-schema CSV
+    (reference get_metrics.py table output)."""
+    import csv
+    import json
+    import subprocess
+    import sys
+
+    rows = [
+        {"image": "a.jpg",
+         "metrics_per_pred": json.dumps({0: (0.8, 0, 12.0, 0),
+                                         1: (0.2, 0, 600.0, 0)}),
+         "metrics_per_gt": json.dumps({0: (0.8, 0, 12.0, 0)})},
+        {"image": "b.jpg",
+         "metrics_per_pred": json.dumps({}),
+         "metrics_per_gt": json.dumps({0: (0.0, -1, 1e9, -1)})},
+    ]
+    path = tmp_path / "results.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(
+            f, fieldnames=["image", "metrics_per_pred", "metrics_per_gt"]
+        )
+        w.writeheader()
+        w.writerows(rows)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "get_metrics.py"), str(path)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert p.returncode == 0, p.stderr
+    # frame-averaged over {P=0.5 frame a, P=0 frame b} at the default thresholds
+    assert "precision: 0.2500" in p.stdout
+    assert "recall: 0.5000" in p.stdout
+    assert "threshold sweep:" in p.stdout
