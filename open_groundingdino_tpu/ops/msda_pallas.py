@@ -44,6 +44,7 @@ Shapes = Tuple[Tuple[int, int], ...]
 QBLOCK = 128
 TILE = 128
 GROUP = 16  # taps per sweep group = one level; finer groups lose to per-tile-iteration fixed costs (GROUP=4 measured 2.2x slower e2e)
+VPT = TILE // 8  # vreg row-slabs per source tile (ranges are vreg-granular)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -83,34 +84,48 @@ def _msda_kernel(
     # S is built transposed: source positions on sublanes, queries on lanes.
     # S stays f32: the v5e VPU supports neither 16-bit integer nor bf16
     # compares, so the mask/select path is pinned to 32-bit tiling.
-    srclane = jax.lax.broadcasted_iota(jnp.int32, (TILE, QBLOCK), 0)
     acc_ref[:] = jnp.zeros((QBLOCK, D), jnp.float32)
 
     # One sweep per GROUP of taps (one group per feature level): each level's
     # taps are local to that level's slice of the concatenated map, so the
-    # per-group [min_tile, max_tile] range is narrow.  A single union range
-    # would always span the whole map (level 1 through level 4 indices).
+    # per-group range is narrow.  A single union range would always span the
+    # whole map (level 1 through level 4 indices).
+    #
+    # Ranges arrive at VREG (8-source-position) granularity: within each
+    # swept 128-position tile, the scatter matrix is only *built* on the
+    # vreg rows the group's band actually covers — for cross-level groups
+    # (e.g. taps into a 4x-coarser level) the band is 1-6 vregs of 16, so
+    # most of the compare/select work disappears.  The matmul stays
+    # tile-shaped (rows outside the band are zeroed once).
     rbase = (bh * nqb + qb) * n_groups * 2
     for gi, g0 in enumerate(range(0, n_taps, GROUP)):
         g1 = min(g0 + GROUP, n_taps)
-        tmin = ranges_ref[rbase + 2 * gi]
-        tmax = ranges_ref[rbase + 2 * gi + 1]
+        vmin = ranges_ref[rbase + 2 * gi]
+        vmax = ranges_ref[rbase + 2 * gi + 1]
+        tmin = vmin // VPT
+        tmax = vmax // VPT
 
-        def tile_body(tt, _, g0=g0, g1=g1):
+        def tile_body(tt, _, g0=g0, g1=g1, vmin=vmin, vmax=vmax):
             src_t = value_ref[0, :, pl.ds(tt * TILE, TILE)]  # (D, 128)
-            base = tt * TILE
 
-            # chunked accumulation: short SSA chains stay in vector
-            # registers (long chains spill to the Mosaic stack)
-            CH = 8
             s_ref[:] = jnp.zeros((TILE, QBLOCK), jnp.float32)
-            for c in range(g0, g1, CH):
-                part = jnp.zeros((TILE, QBLOCK), jnp.float32)
-                for t in range(c, min(c + CH, g1)):
-                    it = idx[t : t + 1, :] - base  # (1, 128q) sublane row
-                    wt = w[t : t + 1, :]           # (1, 128q)
-                    part = part + jnp.where(srclane == it, wt, 0.0)
-                s_ref[:] = s_ref[:] + part
+            v0 = jnp.maximum(vmin, tt * VPT)
+            v1 = jnp.minimum(vmax, tt * VPT + (VPT - 1))
+
+            def vreg_body(v, _, g0=g0, g1=g1):
+                # absolute source positions of this vreg row-slab
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, QBLOCK), 0
+                ) + v * 8
+                part = jnp.zeros((8, QBLOCK), jnp.float32)
+                for t in range(g0, g1):
+                    it = idx[t : t + 1, :]   # (1, 128q) sublane row
+                    wt = w[t : t + 1, :]
+                    part = part + jnp.where(rows == it, wt, 0.0)
+                s_ref[pl.ds(8 * (v - tt * VPT), 8), :] = part
+                return 0
+
+            jax.lax.fori_loop(v0, v1 + 1, vreg_body, 0)
 
             # acc[q, d] += sum_src S_T[src, q] * V_T[d, src].
             # Always the multi-pass (HIGHEST) matmul: Mosaic's single-pass
@@ -169,8 +184,9 @@ def _msda_pallas_fwd_impl(
 
 
 def _tile_ranges(idx: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
-    """Per-(block, tap-group) [tmin, tmax] tile ranges, computed vectorized
-    in XLA and handed to the kernel as scalar-prefetch.
+    """Per-(block, tap-group) [vmin, vmax] source ranges at VREG
+    (8-position) granularity, computed vectorized in XLA and handed to the
+    kernel as scalar-prefetch (the kernel derives tile bounds as v // VPT).
     idx/w: (BH, n_taps, Q_pad) -> (BH*nqb*n_groups*2,) int32."""
     BH, n_taps, Q_pad = idx.shape
     n_groups = -(-n_taps // GROUP)
@@ -185,8 +201,8 @@ def _tile_ranges(idx: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
     g_live = live.reshape(BH, n_groups, -1, nqb, QBLOCK)
     fill = g_idx[:, :, 0:1]
     sel = jnp.where(g_live, g_idx, fill)
-    tmin = jnp.min(sel, axis=(2, 4)) // TILE          # (BH, n_groups, nqb)
-    tmax = jnp.max(sel, axis=(2, 4)) // TILE
+    tmin = jnp.min(sel, axis=(2, 4)) // 8             # (BH, n_groups, nqb)
+    tmax = jnp.max(sel, axis=(2, 4)) // 8
     ranges = jnp.stack([tmin, tmax], axis=-1)          # (BH, n_groups, nqb, 2)
     ranges = jnp.transpose(ranges, (0, 2, 1, 3))       # (BH, nqb, n_groups, 2)
     return ranges.reshape(-1).astype(jnp.int32)
@@ -305,7 +321,7 @@ def ms_deform_attn_pallas(
 
 def _msda_bwd_kernel(
     ranges_ref, value_ref, idx_ref, w_ref, g_ref, gv_ref, gw_ref, s_ref,
-    *, n_taps: int, l_pad: int,
+    p_ref, *, n_taps: int, l_pad: int,
 ):
     """Backward pass.  Grid: (BH, NQB), same sweep structure as forward.
 
