@@ -321,7 +321,7 @@ def ms_deform_attn_pallas(
 
 def _msda_bwd_kernel(
     ranges_ref, value_ref, idx_ref, w_ref, g_ref, gv_ref, gw_ref, s_ref,
-    p_ref, *, n_taps: int, l_pad: int,
+    *, n_taps: int, l_pad: int,
 ):
     """Backward pass.  Grid: (BH, NQB), same sweep structure as forward.
 
@@ -361,8 +361,10 @@ def _msda_bwd_kernel(
     rbase = (bh * nqb + qb) * n_groups * 2
     for gi, g0 in enumerate(range(0, n_taps, GROUP)):
         g1 = min(g0 + GROUP, n_taps)
-        tmin = ranges_ref[rbase + 2 * gi]
-        tmax = ranges_ref[rbase + 2 * gi + 1]
+        # ranges are vreg-granular (see _tile_ranges); tile bounds mirror the
+        # forward's vmin // VPT derivation
+        tmin = ranges_ref[rbase + 2 * gi] // VPT
+        tmax = ranges_ref[rbase + 2 * gi + 1] // VPT
 
         def tile_body(tt, _, g0=g0, g1=g1):
             src_t = value_ref[0, :, pl.ds(tt * TILE, TILE)]  # (D, 128src)
