@@ -84,48 +84,39 @@ def _msda_kernel(
     # S is built transposed: source positions on sublanes, queries on lanes.
     # S stays f32: the v5e VPU supports neither 16-bit integer nor bf16
     # compares, so the mask/select path is pinned to 32-bit tiling.
+    srclane = jax.lax.broadcasted_iota(jnp.int32, (TILE, QBLOCK), 0)
     acc_ref[:] = jnp.zeros((QBLOCK, D), jnp.float32)
 
     # One sweep per GROUP of taps (one group per feature level): each level's
     # taps are local to that level's slice of the concatenated map, so the
-    # per-group range is narrow.  A single union range would always span the
-    # whole map (level 1 through level 4 indices).
-    #
-    # Ranges arrive at VREG (8-source-position) granularity: within each
-    # swept 128-position tile, the scatter matrix is only *built* on the
-    # vreg rows the group's band actually covers — for cross-level groups
-    # (e.g. taps into a 4x-coarser level) the band is 1-6 vregs of 16, so
-    # most of the compare/select work disappears.  The matmul stays
-    # tile-shaped (rows outside the band are zeroed once).
+    # per-group [min_tile, max_tile] range is narrow.  A single union range
+    # would always span the whole map (level 1 through level 4 indices).
+    # Ranges arrive at VREG (8-position) granularity; tile bounds are
+    # v // VPT.  (A vreg-slab fori_loop that builds S only on the covered
+    # band was tried and MEASURED SLOWER e2e: 6.40 vs 9.08 img/s — the
+    # dynamic 8-row stores + loop overhead cost more than the saved
+    # compares, since encoder bands cover most of the tile anyway.)
     rbase = (bh * nqb + qb) * n_groups * 2
     for gi, g0 in enumerate(range(0, n_taps, GROUP)):
         g1 = min(g0 + GROUP, n_taps)
-        vmin = ranges_ref[rbase + 2 * gi]
-        vmax = ranges_ref[rbase + 2 * gi + 1]
-        tmin = vmin // VPT
-        tmax = vmax // VPT
+        tmin = ranges_ref[rbase + 2 * gi] // VPT
+        tmax = ranges_ref[rbase + 2 * gi + 1] // VPT
 
-        def tile_body(tt, _, g0=g0, g1=g1, vmin=vmin, vmax=vmax):
+        def tile_body(tt, _, g0=g0, g1=g1):
             src_t = value_ref[0, :, pl.ds(tt * TILE, TILE)]  # (D, 128)
+            base = tt * TILE
 
+            # chunked accumulation: short SSA chains stay in vector
+            # registers (long chains spill to the Mosaic stack)
+            CH = 8
             s_ref[:] = jnp.zeros((TILE, QBLOCK), jnp.float32)
-            v0 = jnp.maximum(vmin, tt * VPT)
-            v1 = jnp.minimum(vmax, tt * VPT + (VPT - 1))
-
-            def vreg_body(v, _, g0=g0, g1=g1):
-                # absolute source positions of this vreg row-slab
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (8, QBLOCK), 0
-                ) + v * 8
-                part = jnp.zeros((8, QBLOCK), jnp.float32)
-                for t in range(g0, g1):
-                    it = idx[t : t + 1, :]   # (1, 128q) sublane row
-                    wt = w[t : t + 1, :]
-                    part = part + jnp.where(rows == it, wt, 0.0)
-                s_ref[pl.ds(8 * (v - tt * VPT), 8), :] = part
-                return 0
-
-            jax.lax.fori_loop(v0, v1 + 1, vreg_body, 0)
+            for c in range(g0, g1, CH):
+                part = jnp.zeros((TILE, QBLOCK), jnp.float32)
+                for t in range(c, min(c + CH, g1)):
+                    it = idx[t : t + 1, :] - base  # (1, 128q) sublane row
+                    wt = w[t : t + 1, :]           # (1, 128q)
+                    part = part + jnp.where(srclane == it, wt, 0.0)
+                s_ref[:] = s_ref[:] + part
 
             # acc[q, d] += sum_src S_T[src, q] * V_T[d, src].
             # Always the multi-pass (HIGHEST) matmul: Mosaic's single-pass
