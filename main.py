@@ -35,6 +35,13 @@ def get_args_parser():
     p.add_argument("--resume", default="", help="orbax checkpoint path")
     p.add_argument("--pretrain_model_path", default="",
                    help="torch .pth or orbax checkpoint to initialize from")
+    p.add_argument("--finetune_ignore", type=str, nargs="+", default=None,
+                   help="skip pretrain keys containing any of these keywords "
+                        "(reference main.py:343-358, e.g. label_enc.weight "
+                        "class_embed)")
+    p.add_argument("--frozen_weights", type=str, default=None,
+                   help="checkpoint whose params are loaded AND frozen "
+                        "(reference main.py:338-341)")
     p.add_argument("--vocab", default="", help="bert vocab.txt path")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_workers", type=int, default=4)
@@ -92,8 +99,15 @@ def main(cli):
     from open_groundingdino_tpu.utils.ema import BestMetricHolder
     from open_groundingdino_tpu.utils.logger import setup_logger
 
-    if jax.process_count() > 1:
-        pass  # jax.distributed.initialize() must be called by the launcher
+    # multi-host: initialize the JAX distributed runtime before first device
+    # use (reference util/misc.py:520-558 init_distributed_mode).  Env-gated:
+    # single-host runs (and the CPU test mesh) skip it.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
 
     args = SLConfig.fromfile(cli.config_file)
     if cli.options:
@@ -151,22 +165,45 @@ def main(cli):
         for k in ("images", "image_sizes", "input_ids", "text_token_mask",
                   "position_ids", "text_self_attention_masks")
     }
-    if cli.pretrain_model_path.endswith((".pth", ".pt")):
+    # converter geometry depends on the backbone family (inference.py:85-100)
+    if str(args.backbone).startswith("resnet"):
+        from open_groundingdino_tpu.models.resnet import RESNET_VARIANTS
+
+        depths = tuple(RESNET_VARIANTS[args.backbone]["depths"])
+    else:
         from open_groundingdino_tpu.models.swin import SWIN_VARIANTS
 
-        sd = ckpt_utils.load_torch_state_dict(cli.pretrain_model_path)
-        params = ckpt_utils.convert_groundingdino_checkpoint(
-            sd,
-            swin_depths=tuple(SWIN_VARIANTS[args.backbone]["depths"]),
-            out_indices=tuple(args.return_interm_indices),
-            num_feature_levels=args.num_feature_levels,
-            enc_layers=args.enc_layers, dec_layers=args.dec_layers,
-        )
-        logger.info(f"loaded torch pretrain {cli.pretrain_model_path}")
+        depths = tuple(SWIN_VARIANTS[args.backbone]["depths"])
+    convert_kwargs = dict(
+        swin_depths=depths,
+        out_indices=tuple(args.return_interm_indices),
+        num_feature_levels=args.num_feature_levels,
+        enc_layers=args.enc_layers, dec_layers=args.dec_layers,
+        bert_layers=int(getattr(args, "bert_layers", 12)),
+    )
+
+    pretrain_path = cli.frozen_weights or cli.pretrain_model_path
+    if pretrain_path.endswith((".pth", ".pt")):
+        sd = ckpt_utils.load_torch_state_dict(pretrain_path)
+        if cli.finetune_ignore:
+            # keyword filter, reference main.py:343-358 check_keep: ignored
+            # keys keep their fresh init (the reference's strict=False load)
+            fresh = jax.jit(model.init)(
+                jax.random.PRNGKey(cli.seed), **init_inputs
+            )["params"]
+            params = ckpt_utils.convert_with_ignore(
+                sd, cli.finetune_ignore, fresh, **convert_kwargs
+            )
+            logger.info(f"finetune_ignore: {cli.finetune_ignore}")
+        else:
+            params = ckpt_utils.convert_groundingdino_checkpoint(
+                sd, **convert_kwargs
+            )
+        logger.info(f"loaded torch pretrain {pretrain_path}")
     else:
         params = jax.jit(model.init)(jax.random.PRNGKey(cli.seed), **init_inputs)["params"]
-        if cli.pretrain_model_path:
-            restored = ckpt_utils.restore_checkpoint(cli.pretrain_model_path)
+        if pretrain_path:
+            restored = ckpt_utils.restore_checkpoint(pretrain_path)
             params = restored.get("params", restored)
 
     # ---- eval-only ----------------------------------------------------------
@@ -181,7 +218,17 @@ def main(cli):
         process_index=jax.process_index(), process_count=jax.process_count(),
         num_threads=cli.num_workers,
     )
-    eval_step = jax.jit(make_eval_step(model))
+    # bf16 compute by default (cfg compute_dtype), fp32 numerics in the
+    # checkpoint; eval runs the criterion too so epoch logs carry val loss
+    # (reference engine_multi.py:781-800 runs criterion during eval)
+    import jax.numpy as jnp
+
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16, "float32": None, "fp32": None,
+    }.get(str(getattr(args, "compute_dtype", "bfloat16")), jnp.bfloat16)
+    eval_step = jax.jit(
+        make_eval_step(model, criterion=crit, compute_dtype=compute_dtype)
+    )
 
     if cli.eval:
         params = replicate_tree(params, mesh)
@@ -203,14 +250,23 @@ def main(cli):
     )
     steps_per_epoch = max(len(train_loader), 1)
     schedule = make_lr_schedule(args, steps_per_epoch)
+    frozen_keys = tuple(args.freeze_keywords or ())
+    if cli.frozen_weights:
+        # reference main.py:338-341: with --frozen_weights only the head
+        # that is NOT in the loaded checkpoint trains; freezing everything
+        # the checkpoint provided is the strict equivalent here
+        frozen_keys = frozen_keys + ("backbone", "bert", "transformer",
+                                     "feat_map", "input_proj")
+        logger.info("frozen_weights: loaded params frozen")
     tx = make_optimizer(
         params, lr=schedule, lr_backbone=float(args.lr_backbone),
         lr_linear_proj_mult=float(args.lr_linear_proj_mult),
         weight_decay=float(args.weight_decay),
         clip_max_norm=float(args.clip_max_norm),
-        frozen_keys=tuple(args.freeze_keywords or ()),
+        frozen_keys=frozen_keys,
     )
-    state = TrainState.create(params, tx)
+    use_ema = bool(getattr(args, "use_ema", False))
+    state = TrainState.create(params, tx, use_ema=use_ema)
 
     start_epoch = 0
     resume_path = cli.resume or ckpt_utils.latest_checkpoint(cli.output_dir)
@@ -223,9 +279,17 @@ def main(cli):
         logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
 
     state = replicate_tree(state, mesh)
-    train_step = jax.jit(make_train_step(model, crit), donate_argnums=(0,))
+    train_step = jax.jit(
+        make_train_step(
+            model, crit, compute_dtype=compute_dtype,
+            ema_decay=float(getattr(args, "ema_decay", 0.9997))
+            if use_ema else 0.0,
+            dropout_seed=cli.seed,
+        ),
+        donate_argnums=(0,),
+    )
 
-    best = BestMetricHolder()
+    best = BestMetricHolder(use_ema=use_ema)
     for epoch in range(start_epoch, int(args.epochs)):
         train_loader.set_epoch(epoch)
         t0 = time.time()
@@ -257,10 +321,27 @@ def main(cli):
                 {"state": jax.device_get(state), "epoch": epoch},
             )
             logger.info(f"new best AP {best.best_all:.4f} at epoch {epoch}")
+        ema_stats = {}
+        if use_ema and state.ema_params is not None:
+            # second eval pass on the EMA weights (reference main.py:481-494)
+            ema_raw = evaluate_coco(
+                eval_step, state.ema_params, eval_loader, mesh, postprocessor,
+                val_dataset.coco, val_dataset.contiguous_to_catid, logger,
+                max_steps=max_steps,
+            )
+            ema_stats = {f"ema_{k}": v for k, v in ema_raw.items()}
+            if best.update(
+                float(ema_raw.get("AP", -1.0)), epoch, is_ema=True
+            ) and jax.process_index() == 0:
+                ckpt_utils.save_checkpoint(
+                    os.path.join(cli.output_dir, "best_ema"), 0,
+                    {"state": jax.device_get(state), "epoch": epoch},
+                )
+                logger.info(f"new best EMA AP {best.best_ema:.4f}")
         with open(os.path.join(cli.output_dir, "log.txt"), "a") as f:
             f.write(
                 json.dumps({"epoch": epoch, **stats, **eval_stats,
-                            "best_AP": best.best_all}) + "\n"
+                            **ema_stats, "best_AP": best.best_all}) + "\n"
             )
 
 

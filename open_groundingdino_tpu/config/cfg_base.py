@@ -106,5 +106,8 @@ eval_shortest_edge = 800
 eval_max_size = 1333
 max_gt_boxes = 128          # static per-image GT padding for the criterion
 compute_dtype = "bfloat16"  # activations; params/optimizer always fp32
+use_ema = False             # reference cfg use_ema (util/utils.py ModelEma)
+ema_decay = 0.9997
+ema_epoch = 0
 msda_impl = "auto"         # 'pallas' | 'xla' | 'auto' (pallas on TPU)
 mesh_shape = {"data": -1}   # -1: all devices on the data axis

@@ -98,66 +98,79 @@ class CocoBboxEvaluator:
             labels = np.asarray(pred["labels"], np.int64)
             for cat_id in self.cat_ids:
                 sel = labels == cat_id
-                self.eval_imgs[(img_id, cat_id)] = self._evaluate_img(
-                    img_id, cat_id, xywh[sel], scores[sel]
-                )
+                rec = self._evaluate_img(img_id, cat_id, xywh[sel], scores[sel])
+                if rec is not None:  # no dets and no GT: nothing to record
+                    self.eval_imgs[(img_id, cat_id)] = rec
+
+    def _match(self, ious_s, gt_ignore_s, iscrowd_s, D, G):
+        """Greedy pycocotools match against ignore-sorted GT.  Returns
+        (dt_m, gt_m, dt_ig_gt) of shapes (T,D)/(T,G)/(T,D)."""
+        T = len(IOU_THRS)
+        dt_m = np.zeros((T, D), np.int64) - 1      # matched gt index or -1
+        gt_m = np.zeros((T, G), np.int64) - 1
+        dt_ig_gt = np.zeros((T, D), bool)          # matched-to-ignored flag
+        if not (G and D):
+            return dt_m, gt_m, dt_ig_gt
+        if self.use_native:
+            from ..utils.native import coco_greedy_match
+
+            native = coco_greedy_match(ious_s, gt_ignore_s, iscrowd_s, IOU_THRS)
+            if native is not None:
+                return native
+        for t, thr in enumerate(IOU_THRS):
+            thr_eff = min(thr, 1 - 1e-10)
+            for d in range(D):
+                # greedy: best available non-ignored GT first, else best
+                # available ignored GT (pycocotools ordering semantics)
+                avail = (gt_m[t] < 0) | iscrowd_s.astype(bool)
+                cand = np.where(avail, ious_s[d], -1.0)
+                real = np.where(~gt_ignore_s, cand, -1.0)
+                best_g = -1
+                if real.max() >= thr_eff:
+                    best_g = int(real.argmax())
+                else:
+                    ig = np.where(gt_ignore_s, cand, -1.0)
+                    if ig.size and ig.max() >= thr_eff:
+                        best_g = int(ig.argmax())
+                if best_g >= 0:
+                    dt_m[t, d] = best_g
+                    gt_m[t, best_g] = d
+                    dt_ig_gt[t, d] = gt_ignore_s[best_g]
+        return dt_m, gt_m, dt_ig_gt
 
     def _evaluate_img(self, img_id, cat_id, det_xywh, det_scores):
+        """One record per area range, matching pycocotools' evaluateImg per
+        aRng: out-of-range GT are marked ignore BEFORE matching and sorted
+        last, so a det overlapping both an in-range and an out-of-range GT
+        matches the in-range one — an area-agnostic single match diverges on
+        APs/APm/APl (advisor finding, round 1)."""
         gt_boxes, iscrowd, gt_ignore, gt_areas = self._gt_for(img_id, cat_id)
         order = np.argsort(-det_scores, kind="mergesort")[: max(MAX_DETS)]
         det_xywh = det_xywh[order]
         det_scores = det_scores[order]
         D, G = len(det_xywh), len(gt_boxes)
+        if D == 0 and G == 0:
+            return None
         ious = bbox_iou_xywh(det_xywh, gt_boxes, iscrowd)
-
         det_areas = det_xywh[:, 2] * det_xywh[:, 3]
-        T = len(IOU_THRS)
-        # sort GT: non-ignored first (pycocotools order)
-        gt_order = np.argsort(gt_ignore, kind="mergesort")
-        gt_ignore_s = gt_ignore[gt_order]
-        iscrowd_s = iscrowd[gt_order]
-        ious_s = ious[:, gt_order] if G else ious
 
-        dt_m = np.zeros((T, D), np.int64) - 1      # matched gt index or -1
-        gt_m = np.zeros((T, G), np.int64) - 1
-        dt_ig_gt = np.zeros((T, D), bool)          # matched-to-ignored flag
-        native = None
-        if G and D and self.use_native:
-            from ..utils.native import coco_greedy_match
-
-            native = coco_greedy_match(ious_s, gt_ignore_s, iscrowd_s, IOU_THRS)
-        if native is not None:
-            dt_m, gt_m, dt_ig_gt = native
-        elif G:
-            for t, thr in enumerate(IOU_THRS):
-                thr_eff = min(thr, 1 - 1e-10)
-                for d in range(D):
-                    # greedy: best available non-ignored GT first, else best
-                    # available ignored GT (pycocotools ordering semantics)
-                    avail = (gt_m[t] < 0) | iscrowd_s.astype(bool)
-                    cand = np.where(avail, ious_s[d], -1.0)
-                    real = np.where(~gt_ignore_s, cand, -1.0)
-                    best_g = -1
-                    if real.max() >= thr_eff:
-                        best_g = int(real.argmax())
-                    else:
-                        ig = np.where(gt_ignore_s, cand, -1.0)
-                        if ig.size and ig.max() >= thr_eff:
-                            best_g = int(ig.argmax())
-                    if best_g >= 0:
-                        dt_m[t, d] = best_g
-                        gt_m[t, best_g] = d
-                        dt_ig_gt[t, d] = gt_ignore_s[best_g]
-
-        return {
-            "det_scores": det_scores,
-            "det_areas": det_areas,
-            "dt_m": dt_m,
-            "dt_ig_gt": dt_ig_gt,
-            "gt_ignore": gt_ignore_s,
-            "gt_areas": gt_areas[gt_order] if G else gt_areas,
-            "gt_m": gt_m,
-        }
+        areas = {}
+        for aname, (amin, amax) in AREA_RANGES.items():
+            g_ig = gt_ignore | (gt_areas < amin) | (gt_areas > amax)
+            gt_order = np.argsort(g_ig, kind="mergesort")
+            g_ig_s = g_ig[gt_order]
+            crowd_s = iscrowd[gt_order]
+            ious_s = ious[:, gt_order] if G else ious
+            dt_m, _, dt_ig_gt = self._match(ious_s, g_ig_s, crowd_s, D, G)
+            matched = dt_m >= 0
+            out_of_area = (det_areas < amin) | (det_areas > amax)
+            dt_ig = np.where(matched, dt_ig_gt, out_of_area[None])
+            areas[aname] = {
+                "tp": matched & ~dt_ig,
+                "ig": dt_ig,
+                "npig": int((~g_ig_s).sum()),
+            }
+        return {"det_scores": det_scores, "areas": areas}
 
     # -- accumulate ------------------------------------------------------------
     def accumulate(self):
@@ -175,28 +188,16 @@ class CocoBboxEvaluator:
             recs = [r for r in recs if r is not None]
             if not recs:
                 continue
-            for a, (aname, (amin, amax)) in enumerate(AREA_RANGES.items()):
-                # per-record tp/fp at full maxDets, computed ONCE per area
-                # range; per-maxDet views are prefixes (the hot loop used to
-                # redo this work per maxDet — 3x slower)
+            for a, aname in enumerate(AREA_RANGES):
+                # per-record tp/fp at full maxDets (matched per area range in
+                # _evaluate_img); per-maxDet views are prefixes
                 per_rec = []
                 npig = 0
                 for r in recs:
-                    g_area_ig = r["gt_ignore"] | (
-                        (r["gt_areas"] < amin) | (r["gt_areas"] > amax)
-                    )
-                    npig += int((~g_area_ig).sum())
-                    dt_m = r["dt_m"]                     # (T, D)
-                    matched = dt_m >= 0
-                    # vectorized matched-to-ignored lookup across thresholds
-                    gi = np.concatenate([g_area_ig, [False]])  # pad for -1
-                    matched_ig = gi[np.where(matched, dt_m, -1)]
-                    out_of_area = (r["det_areas"] < amin) | (
-                        r["det_areas"] > amax
-                    )
-                    dt_ig = np.where(matched, matched_ig, out_of_area[None])
+                    ar = r["areas"][aname]
+                    npig += ar["npig"]
                     per_rec.append(
-                        (r["det_scores"], matched & ~dt_ig, ~matched & ~dt_ig)
+                        (r["det_scores"], ar["tp"], ~ar["tp"] & ~ar["ig"])
                     )
                 if npig == 0:
                     continue

@@ -71,6 +71,7 @@ class GroundingDINO(nn.Module):
     use_fusion_layer: bool = True
     use_text_cross_attention: bool = True
     msda_impl: str = "auto"
+    fusion_droppath: float = 0.0
     aux_loss: bool = True
     # when set, a ResNet trunk replaces Swin as the image backbone
     # (reference backbone.py:182-196 selects by args.backbone name)
@@ -166,9 +167,10 @@ class GroundingDINO(nn.Module):
             use_transformer_ckpt=self.use_transformer_ckpt,
             max_text_len=self.max_text_len,
             msda_impl=self.msda_impl,
+            fusion_droppath=self.fusion_droppath,
             spatial_shapes=shapes,
             name="transformer",
-        )(srcs, masks, poss, text_dict)
+        )(srcs, masks, poss, text_dict, deterministic=deterministic)
 
         # ---- heads ---------------------------------------------------------
         memory_text = t_out["memory_text"]
@@ -252,6 +254,7 @@ def build_groundingdino(args) -> GroundingDINO:
         use_fusion_layer=bool(args.use_fusion_layer),
         use_text_cross_attention=bool(args.use_text_cross_attention),
         msda_impl=getattr(args, "msda_impl", "auto"),
+        fusion_droppath=float(getattr(args, "fusion_droppath", 0.0)),
         aux_loss=bool(args.aux_loss),
         resnet_cfg=resnet_cfg,
     )

@@ -134,20 +134,33 @@ class BiMultiHeadAttention(nn.Module):
         return out_v, out_l
 
 
+def drop_path(x, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Stochastic depth on the residual branch (reference fuse_modules.py
+    DropPath / timm drop_path): per-sample Bernoulli keep with 1/keep
+    rescale; identity at inference or rate 0."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / keep
+
+
 class BiAttentionBlock(nn.Module):
-    """Pre-LN fusion block with layer-scale residuals
-    (reference fuse_modules.py:252-295; gamma init 1e-4; droppath omitted —
-    detection configs train with droppath only as regularisation and it is
-    identity at inference)."""
+    """Pre-LN fusion block with layer-scale residuals + stochastic depth
+    (reference fuse_modules.py:252-295; gamma init 1e-4; drop_path applied
+    to both residual branches during training, identity at inference)."""
 
     v_dim: int
     l_dim: int
     embed_dim: int
     num_heads: int
     init_values: float = 1e-4
+    droppath: float = 0.0
 
     @nn.compact
-    def __call__(self, v, l, attention_mask_v=None, attention_mask_l=None):
+    def __call__(self, v, l, attention_mask_v=None, attention_mask_l=None,
+                 deterministic: bool = True):
         vn = nn.LayerNorm(name="layer_norm_v")(v)
         ln = nn.LayerNorm(name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(
@@ -159,7 +172,14 @@ class BiAttentionBlock(nn.Module):
         gamma_l = self.param(
             "gamma_l", nn.initializers.constant(self.init_values), (self.l_dim,)
         )
-        return vn + gamma_v * dv, ln + gamma_l * dl
+        use_dp = self.droppath > 0.0 and not deterministic
+        # two draws — the reference calls its DropPath module once per branch
+        rng_v = self.make_rng("dropout") if use_dp else None
+        rng_l = self.make_rng("dropout") if use_dp else None
+        return (
+            vn + drop_path(gamma_v * dv, self.droppath, not use_dp, rng_v),
+            ln + drop_path(gamma_l * dl, self.droppath, not use_dp, rng_l),
+        )
 
 
 class TextEnhancerLayer(nn.Module):

@@ -115,6 +115,9 @@ class PostProcess:
         self.tokenized = tok
         self.num_select = num_select
         self.nms_iou_threshold = nms_iou_threshold
+        # labels are already COCO category ids after the 80->91 remap; eval
+        # callers (engine.evaluate_coco) must then skip contiguous_to_catid
+        self.emits_coco_ids = coco_id_remap
 
     def __call__(self, outputs: Dict, target_sizes: np.ndarray) -> List[Dict]:
         scores, labels, boxes = postprocess(

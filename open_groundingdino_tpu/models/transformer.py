@@ -256,6 +256,7 @@ class Transformer(nn.Module):
     use_transformer_ckpt: bool = False  # remat deformable encoder layers
     max_text_len: int = 256
     msda_impl: str = "auto"
+    fusion_droppath: float = 0.0        # stochastic depth on fusion residuals
     spatial_shapes: Shapes = ()         # static, set per bucket
 
     @nn.compact
@@ -265,6 +266,7 @@ class Transformer(nn.Module):
         masks: List[jnp.ndarray],       # per level (B, H, W) True = pad
         pos_embeds: List[jnp.ndarray],  # per level (B, H, W, C)
         text_dict: dict,
+        deterministic: bool = True,
     ):
         assert len(srcs) == self.num_feature_levels
         B = srcs[0].shape[0]
@@ -290,7 +292,8 @@ class Transformer(nn.Module):
 
         # ---------------- encoder ----------------
         memory, memory_text = self._encode(
-            src_flat, pos_flat, mask_flat, valid_ratios, shapes, text_dict
+            src_flat, pos_flat, mask_flat, valid_ratios, shapes, text_dict,
+            deterministic=deterministic,
         )
 
         # ---------------- two-stage query selection ----------------
@@ -343,7 +346,8 @@ class Transformer(nn.Module):
         }
 
     # ------------------------------------------------------------------
-    def _encode(self, src, pos, key_padding_mask, valid_ratios, shapes, text_dict):
+    def _encode(self, src, pos, key_padding_mask, valid_ratios, shapes,
+                text_dict, deterministic=True):
         memory_text = text_dict["encoded_text"]
         text_pad = ~text_dict["text_token_mask"]  # True = pad
         reference_points = encoder_reference_points(shapes, valid_ratios)
@@ -378,8 +382,10 @@ class Transformer(nn.Module):
                 output, memory_text = fusion_cls(
                     v_dim=self.d_model, l_dim=self.d_model,
                     embed_dim=self.dim_feedforward // 2, num_heads=self.nhead // 2,
+                    droppath=self.fusion_droppath,
                     name=f"fusion_{i}",
-                )(output, memory_text, kpm_q, text_pad)
+                )(output, memory_text, kpm_q, text_pad,
+                  deterministic=deterministic)
             if self.use_text_enhancer:
                 memory_text = TextEnhancerLayer(
                     d_model=self.d_model, nhead=self.nhead // 2,

@@ -23,14 +23,19 @@ class TrainState:
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # exponential moving average of params (reference util/utils.py:373-396
+    # ModelEma); None unless use_ema is configured
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, params, tx):
+    def create(cls, params, tx, use_ema: bool = False):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
             tx=tx,
+            ema_params=jax.tree_util.tree_map(lambda x: x, params)
+            if use_ema else None,
         )
 
 
@@ -51,17 +56,26 @@ def cast_floating(tree, dtype):
     )
 
 
-def make_train_step(model, criterion, compute_dtype=None) -> Callable:
+def make_train_step(model, criterion, compute_dtype=None,
+                    ema_decay: float = 0.0, dropout_seed: int = 0) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics); jit it once.
 
     compute_dtype=jnp.bfloat16 enables mixed precision: params/optimizer stay
     fp32, the forward runs in bf16 (the decoder FFN/heads force fp32
     internally, mirroring the reference's AMP policy, transformer.py:871).
     No loss scaling — bf16 has fp32's exponent range.
+
+    ema_decay > 0 updates state.ema_params each step (reference
+    util/utils.py:373-396 ModelEma; requires TrainState.create(use_ema=True)).
+    The forward runs non-deterministic (dropout / fusion droppath active,
+    reference fuse_modules.py:281-283) keyed by fold_in(dropout_seed, step).
     """
 
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         model_inputs = {k: batch[k] for k in MODEL_INPUT_KEYS}
+        dropout_rng = jax.random.fold_in(
+            jax.random.PRNGKey(dropout_seed), state.step
+        )
 
         def loss_fn(params):
             p = params
@@ -69,7 +83,10 @@ def make_train_step(model, criterion, compute_dtype=None) -> Callable:
             if compute_dtype is not None:
                 p = cast_floating(p, compute_dtype)
                 inputs = dict(inputs, images=inputs["images"].astype(compute_dtype))
-            out = model.apply({"params": p}, **inputs)
+            out = model.apply(
+                {"params": p}, **inputs, deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
             total, losses = criterion(
                 out, batch["gt_boxes"], batch["gt_pos_maps"], batch["gt_valid"]
             )
@@ -84,17 +101,28 @@ def make_train_step(model, criterion, compute_dtype=None) -> Callable:
         metrics["loss"] = total
         from ..parallel.optim import safe_global_norm
         metrics["grad_norm"] = safe_global_norm(grads)
+        ema_params = state.ema_params
+        if ema_params is not None and ema_decay > 0.0:
+            from ..utils.ema import ema_update
+            ema_params = ema_update(ema_params, params, ema_decay)
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema_params,
         )
         return new_state, metrics
 
     return train_step
 
 
-def make_eval_step(model, criterion=None) -> Callable:
+def make_eval_step(model, criterion=None, compute_dtype=None) -> Callable:
     def eval_step(params, batch):
         model_inputs = {k: batch[k] for k in MODEL_INPUT_KEYS}
+        if compute_dtype is not None:
+            params = cast_floating(params, compute_dtype)
+            model_inputs = dict(
+                model_inputs,
+                images=model_inputs["images"].astype(compute_dtype),
+            )
         out = model.apply({"params": params}, **model_inputs)
         result = {
             "pred_logits": out["pred_logits"],

@@ -192,3 +192,41 @@ def convert_groundingdino_checkpoint(
 
     p["transformer"] = t
     return p
+
+
+def convert_with_ignore(
+    sd: Dict[str, np.ndarray],
+    ignore_keywords,
+    fresh_params: Dict,
+    **convert_kwargs,
+) -> Dict:
+    """convert_groundingdino_checkpoint with the reference's finetune_ignore
+    semantics (reference main.py:343-358 check_keep + strict=False load):
+    any param leaf sourced from a torch key containing an ignore keyword
+    keeps its fresh initialization instead of the pretrain value.
+
+    Mechanism: convert twice — once verbatim, once with ignored keys'
+    arrays overwritten by a sentinel constant — and take the fresh leaf
+    wherever the two conversions disagree.  This tracks torch-key->leaf
+    provenance through arbitrary converter reshapes/transposes without
+    instrumenting the converter.  (If a leaf mixes kept and ignored torch
+    keys — e.g. a fused qkv — the whole leaf conservatively stays fresh.)
+    """
+    sentinel = np.float32(3.14159e33)
+    marked = {
+        k: (np.full_like(v, sentinel) if any(kw in k for kw in ignore_keywords)
+            else v)
+        for k, v in sd.items()
+    }
+    a = convert_groundingdino_checkpoint(sd, **convert_kwargs)
+    b = convert_groundingdino_checkpoint(marked, **convert_kwargs)
+
+    def pick(fresh, va, vb):
+        va = np.asarray(va)
+        return va if np.array_equal(va, np.asarray(vb)) else np.asarray(fresh)
+
+    import jax
+
+    return jax.tree_util.tree_map(
+        pick, jax.device_get(fresh_params), a, b
+    )

@@ -143,3 +143,34 @@ def test_iou_threshold_sweep():
     assert abs(stats["AP"] - 0.3) < 1e-6
     assert abs(stats["AP50"] - 1.0) < 1e-6
     assert abs(stats["AP75"] - 0.0) < 1e-6
+
+
+def test_per_area_rematch():
+    """pycocotools matches per area range: out-of-range GT are ignored
+    BEFORE matching (evaluateImg per aRng).  A det overlapping a small GT
+    (IoU .510) and a medium GT (IoU .706) must, in the 'small' range where
+    the medium GT is ignored, match the small GT -> APs > 0.  An
+    area-agnostic single match would bind it to the medium GT and leave the
+    small GT unmatched (advisor finding, round 1)."""
+    anns = [
+        (1, 1, (0, 0, 30, 30)),   # small: area 900
+        (1, 1, (0, 0, 50, 50)),   # medium: area 2500
+    ]
+    ev = CocoBboxEvaluator(_mk_index(anns, imgs=(1,)))
+    preds = {
+        1: {
+            "scores": np.asarray([0.9]),
+            "labels": np.asarray([1]),
+            "boxes": np.asarray([[0, 0, 42, 42]], np.float64),  # area 1764
+        }
+    }
+    iou_s = 900.0 / 1764.0
+    iou_m = 1764.0 / 2500.0
+    assert iou_m > iou_s >= 0.5  # the divergent configuration
+    ev.update(preds)
+    ev.accumulate()
+    stats = ev.summarize()
+    # small range: medium GT ignored, det matches small at thr .50 only
+    assert abs(stats["APs"] - 0.1) < 1e-6
+    # medium range: small GT ignored, det matches medium at .50....70
+    assert abs(stats["APm"] - 0.5) < 1e-6

@@ -137,6 +137,9 @@ def test_perfect_predictions_low_loss():
 
 
 def test_criterion_jit_and_grad():
+    # jax-0.9.0 executable-cache bug (see NOTE below) is test-order
+    # sensitive; start from a clean trace cache
+    jax.clear_caches()
     crit = SetCriterion(num_queries=Q)
     logits, boxes, gt_boxes, pos_maps, valid = _inputs(3)
 

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""MSDA kernel microbenchmark: one encoder layer's deformable attention at
+bench shapes (B=4, 800x1216 bucket -> 20197 queries, 4 levels, 8 heads,
+P=4), trained-like offset spread.  Times the Pallas forward against the
+XLA reference path; use to evaluate kernel variants without a full
+bench.py cycle.
+
+Run on the real chip: python tools/msda_microbench.py [--xla] [--bwd]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--xla", action="store_true", help="also time XLA path")
+    ap.add_argument("--bwd", action="store_true", help="time fwd+bwd")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--spread", type=float, default=1.0,
+                    help="multiplier on the reference-style grid-bias "
+                         "offsets (1.0 = init; >1 = trained-like widening)")
+    ap.add_argument("--jitter", type=float, default=0.5,
+                    help="per-query random jitter in cells on top of the "
+                         "grid bias (trained nets have modest per-query "
+                         "variation)")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from open_groundingdino_tpu.ops.msda import ms_deform_attn_xla
+    from open_groundingdino_tpu.ops.msda_pallas import ms_deform_attn_pallas
+
+    B, H, D, P = 4, 8, 32, 4
+    # 800x1216 bucket -> swin strides 8/16/32/64
+    shapes = ((100, 152), (50, 76), (25, 38), (13, 19))
+    L = sum(h * w for h, w in shapes)
+    Q = L  # encoder self-attention
+    rng = np.random.RandomState(0)
+
+    value = rng.randn(B, L, H, D).astype(np.float32)
+    # reference points: each query at its own spatial location per level,
+    # offsets ~ spread pixels of the query's own level
+    ref = []
+    for (h, w) in shapes:
+        ys, xs = np.meshgrid(
+            (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w, indexing="ij")
+        ref.append(np.stack([xs, ys], -1).reshape(-1, 2))
+    ref = np.concatenate(ref, 0)  # (L, 2) normalized
+    # reference init (deformable_transformer.py grid_init): per-head unit
+    # ray scaled by point index, shared across queries; plus modest
+    # per-query jitter to model a trained state
+    theta = np.arange(H) * (2 * np.pi / H)
+    grid = np.stack([np.cos(theta), np.sin(theta)], -1)  # (H, 2)
+    grid /= np.abs(grid).max(-1, keepdims=True)
+    bias = grid[:, None, :] * (np.arange(P) + 1)[None, :, None]  # (H, P, 2)
+    bias = np.tile(bias[:, None], (1, len(shapes), 1, 1))  # (H, NL, P, 2)
+    offs = (
+        bias[None, None] * args.spread
+        + rng.randn(B, Q, H, len(shapes), P, 2) * args.jitter
+    ).astype(np.float32)
+    wh = np.asarray([[w, h] for h, w in shapes], np.float32)  # (NL, 2)
+    locs = ref[None, :, None, None, None, :] + (
+        offs / wh[None, None, None, :, None, :]
+    )
+    attn = rng.rand(B, Q, H, len(shapes), P).astype(np.float32)
+    attn /= attn.sum(axis=(3, 4), keepdims=True)
+
+    # match the encoder's interleaved query ordering (queries permuted,
+    # value stays raster — see models/transformer.py DeformableEncoder)
+    from open_groundingdino_tpu.models.transformer import (
+        _interleaved_query_order,
+    )
+    perm = _interleaved_query_order(shapes)
+    locs = locs[:, perm]
+    attn = attn[:, perm]
+
+    value_j = jnp.asarray(value)
+    locs_j = jnp.asarray(locs.astype(np.float32))
+    attn_j = jnp.asarray(attn)
+
+    def time_fn(name, f, *a):
+        jf = jax.jit(f)
+        out = jf(*a)
+        first = out[0] if isinstance(out, tuple) else out
+        np.asarray(jax.tree_util.tree_leaves(first)[0]).ravel()[:1]
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = jf(*a)
+        first = out[0] if isinstance(out, tuple) else out
+        np.asarray(jax.tree_util.tree_leaves(first)[0]).ravel()[:1]
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name}: {dt*1e3:.1f} ms/layer")
+        return out
+
+    def pallas_fwd(v, l, a):
+        return ms_deform_attn_pallas(v, shapes, l, a)
+
+    o_p = time_fn("pallas fwd", pallas_fwd, value_j, locs_j, attn_j)
+
+    if args.bwd:
+        def loss_p(v, l, a):
+            return jnp.sum(ms_deform_attn_pallas(v, shapes, l, a) ** 2)
+        time_fn("pallas fwd+bwd", jax.grad(loss_p, argnums=(0, 1, 2)),
+                value_j, locs_j, attn_j)
+
+    if args.xla:
+        def xla_fwd(v, l, a):
+            return ms_deform_attn_xla(v, shapes, l, a)
+        o_x = time_fn("xla fwd", xla_fwd, value_j, locs_j, attn_j)
+        err = float(jnp.max(jnp.abs(o_p - o_x)))
+        print(f"max abs diff pallas vs xla: {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()
