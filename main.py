@@ -88,7 +88,8 @@ def main(cli):
     from open_groundingdino_tpu.data.tokenization import BertWordPieceTokenizer
     from open_groundingdino_tpu.engine import evaluate_coco, train_one_epoch
     from open_groundingdino_tpu.models.criterion import SetCriterion
-    from open_groundingdino_tpu.models.groundingdino import build_groundingdino
+    import open_groundingdino_tpu.models.groundingdino  # noqa: F401 — registers 'groundingdino'
+    from open_groundingdino_tpu.models.registry import build_model_main
     from open_groundingdino_tpu.models.postprocess import PostProcess
     from open_groundingdino_tpu.parallel.mesh import make_mesh, replicate_tree
     from open_groundingdino_tpu.parallel.optim import make_lr_schedule, make_optimizer
@@ -135,7 +136,9 @@ def main(cli):
         raise SystemExit("--vocab path to bert vocab.txt is required")
     tokenizer = BertWordPieceTokenizer(cli.vocab)
 
-    model = build_groundingdino(args)
+    # reference main.py:85-92 build_model_main: dispatch through the
+    # name->builder registry so alternate model families plug in by config
+    model = build_model_main(args)
     crit = SetCriterion(
         num_queries=args.num_queries,
         cost_class=args.set_cost_class, cost_bbox=args.set_cost_bbox,

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from .bert import BertConfig, BertModel
 from .layers import contrastive_embed
 from .position_encoding import position_embedding_sine_hw
+from .registry import MODULE_BUILD_FUNCS
 from .resnet import ResNet, ResNetConfig
 from .swin import SwinConfig, SwinTransformer
 from .transformer import Transformer, make_level_masks
@@ -204,6 +205,7 @@ class GroundingDINO(nn.Module):
         return out
 
 
+@MODULE_BUILD_FUNCS.registe_with_name("groundingdino")
 def build_groundingdino(args) -> GroundingDINO:
     """Build from an SLConfig-style args namespace (reference
     groundingdino.py:726-806 registry entry)."""

@@ -1,11 +1,16 @@
-"""Hungarian matching with a host/device split designed for jit.
+"""Hungarian matching designed for jit — cost on device, assignment on
+device by default.
 
 The reference computes cost matrices on GPU, copies to CPU, and runs scipy's
 linear_sum_assignment per sample (reference matcher.py:25-120).  Here the
 cost tensor is computed *inside* the jitted train step with static shapes
-(GT padded to max_gt), and the assignment runs on host through
-jax.pure_callback — the device/host sync is the same one the reference pays
-with `C.cpu()`, but batched once for all aux layers.
+(GT padded to max_gt), and the assignment runs *on device* through the
+Jonker-Volgenant solver in ops/hungarian.py (scipy-parity tested) — no
+host round-trip at all, which the axon runtime requires (no host
+callbacks) and which removes the per-step device→host sync the reference
+pays with `C.cpu()`.  A host pure_callback path
+(`hungarian_assign(method='callback')`) is kept for platforms where
+callbacks are available and G is large.
 
 Static-shape contract: every image has exactly G = max_gt GT slots with a
 validity mask; invalid columns get a large constant cost so the LSA still

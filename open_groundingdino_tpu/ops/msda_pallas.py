@@ -119,16 +119,27 @@ def _msda_kernel(
                 s_ref[:] = s_ref[:] + part
 
             # acc[q, d] += sum_src S_T[src, q] * V_T[d, src].
-            # Always the multi-pass (HIGHEST) matmul: Mosaic's single-pass
-            # rounds to bf16 (~1e-2 relative error) and, measured end to
-            # end, the extra f32->bf16 cast of S makes it *slower* than the
-            # multi-pass anyway.
-            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-                s_ref[:], src_t.astype(jnp.float32),
-                dimension_numbers=(((0,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
+            # f32 values: multi-pass (HIGHEST) matmul for exact XLA parity —
+            # Mosaic's single-pass rounds through bf16 (~1e-2 rel err), and
+            # for f32 the extra S cast made single-pass slower anyway.
+            # bf16 values (the e2e mixed-precision path): the operands are
+            # already bf16-rounded, so the single-pass DEFAULT matmul loses
+            # nothing and drops the multi-pass MXU cost — the dot is the
+            # dominant per-tile-iteration fixed cost.
+            if value_ref.dtype == jnp.bfloat16:
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    s_ref[:].astype(jnp.bfloat16), src_t,
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    s_ref[:], src_t.astype(jnp.float32),
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
             return 0
 
         jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
@@ -345,6 +356,12 @@ def _msda_bwd_kernel(
     idx = idx_ref[0]          # (n_taps, 128q) int32
     w = w_ref[0]              # (n_taps, 128q) f32
     g_q = g_ref[0].astype(jnp.float32)  # (128q, D)
+    # bf16 values (the e2e mixed-precision path): operands are already
+    # bf16-rounded, so single-pass DEFAULT matmuls lose nothing and drop
+    # the multi-pass MXU cost (same rationale as the forward kernel).
+    bf16 = value_ref.dtype == jnp.bfloat16
+    g_q_mm = g_ref[0].astype(jnp.bfloat16) if bf16 else g_q
+    prec = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
 
     srclane = jax.lax.broadcasted_iota(jnp.int32, (TILE, QBLOCK), 0)
     gw_ref[0] = jnp.zeros((n_taps, QBLOCK), jnp.float32)
@@ -364,9 +381,9 @@ def _msda_bwd_kernel(
             # ---- rebuild S_T and per-tap masks; accumulate grad_w ----
             # P[src, q] = sum_d V[src, d] * g[q, d]
             P = jax.lax.dot_general(
-                src_t.astype(jnp.float32), g_q,
+                src_t if bf16 else src_t.astype(jnp.float32), g_q_mm,
                 dimension_numbers=(((0,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
                 preferred_element_type=jnp.float32,
             )  # (128src, 128q)
 
@@ -391,9 +408,9 @@ def _msda_bwd_kernel(
             gv_ref[0, :, pl.ds(tt * TILE, TILE)] = gv_ref[
                 0, :, pl.ds(tt * TILE, TILE)
             ] + jax.lax.dot_general(
-                g_q, s_ref[:],
+                g_q_mm, s_ref[:].astype(g_q_mm.dtype),
                 dimension_numbers=(((0,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
                 preferred_element_type=jnp.float32,
             )
             return 0

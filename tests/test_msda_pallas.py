@@ -49,6 +49,27 @@ def test_pallas_bf16():
     )
 
 
+def test_pallas_bf16_vjp():
+    """bf16 values route the kernel dots through single-pass DEFAULT
+    matmuls; grads must still track the XLA reference at bf16 tolerance."""
+    value, locs, attn = _inputs(Q=48, seed=5)
+    v16 = value.astype(jnp.bfloat16)
+
+    def loss_p(v, l, a):
+        return jnp.sum(ms_deform_attn_pallas(v, SHAPES, l, a).astype(jnp.float32) ** 2)
+
+    def loss_x(v, l, a):
+        return jnp.sum(ms_deform_attn_xla(v, SHAPES, l, a).astype(jnp.float32) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(v16, locs, attn)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(v16, locs, attn)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0.08, atol=0.08,
+        )
+
+
 def test_pallas_vjp_matches_xla():
     value, locs, attn = _inputs(Q=40, seed=3)
 
