@@ -157,10 +157,13 @@ class BiAttentionBlock(nn.Module):
     num_heads: int
     init_values: float = 1e-4
     droppath: float = 0.0
+    # static module attribute, NOT a call argument: under nn.remat every
+    # call argument is traced, and the droppath branch needs a Python bool
+    deterministic: bool = True
 
     @nn.compact
-    def __call__(self, v, l, attention_mask_v=None, attention_mask_l=None,
-                 deterministic: bool = True):
+    def __call__(self, v, l, attention_mask_v=None, attention_mask_l=None):
+        deterministic = self.deterministic
         vn = nn.LayerNorm(name="layer_norm_v")(v)
         ln = nn.LayerNorm(name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(

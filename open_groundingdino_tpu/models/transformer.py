@@ -135,6 +135,29 @@ def gen_encoder_output_proposals(
     return output_memory, output_proposals
 
 
+def two_stage_select(
+    output_memory: jnp.ndarray,     # (B, S, C) projected+normed encoder out
+    output_proposals: jnp.ndarray,  # (B, S, 4) unsigmoid anchors (inf = masked)
+    enc_delta: jnp.ndarray,         # (B, S, 4) box-head deltas
+    enc_logits: jnp.ndarray,        # (B, S, T) contrastive class logits
+    num_queries: int,
+):
+    """Two-stage 'standard' query selection (reference transformer.py:285-328):
+    rank tokens by max token logit, take top num_queries, gather unsigmoid
+    refpoints (delta + proposal), sigmoid init proposals, and token features.
+    Returns (refpoint_undetach, init_box_proposal, tgt_undetach)."""
+    topk_logits = jnp.max(enc_logits, axis=-1)            # (B, S)
+    enc_coords_unsel = enc_delta + output_proposals        # (B, S, 4) unsigmoid
+    _, topk_idx = jax.lax.top_k(topk_logits, num_queries)  # (B, Q)
+    gather = lambda t: jnp.take_along_axis(
+        t, topk_idx[..., None].astype(jnp.int32), axis=1
+    )
+    refpoint_undetach = gather(enc_coords_unsel)           # (B, Q, 4)
+    init_box_proposal = jax.nn.sigmoid(gather(output_proposals))
+    tgt_undetach = gather(output_memory)                   # (B, Q, C)
+    return refpoint_undetach, init_box_proposal, tgt_undetach
+
+
 def _interleaved_query_order(spatial_shapes: Shapes) -> np.ndarray:
     """Static spatially-interleaved order for the concatenated multi-level
     encoder token sequence: all levels' tokens sorted together by normalized
@@ -307,20 +330,14 @@ class Transformer(nn.Module):
             output_memory, memory_text, text_dict["text_token_mask"],
             self.max_text_len,
         )
-        topk_logits = jnp.max(enc_logits, axis=-1)  # (B, S)
         # enc_out_bbox_embed lives on the top model for weight sharing — the
         # delta MLP is created here but shared by name from GroundingDINO.
         enc_delta = MLP(C, 4, 3, name="enc_out_bbox_embed")(output_memory)
-        enc_coords_unsel = enc_delta + output_proposals  # (B, S, 4) unsigmoid
-
-        _, topk_idx = jax.lax.top_k(topk_logits, self.num_queries)  # (B, Q)
-        gather = lambda t: jnp.take_along_axis(
-            t, topk_idx[..., None].astype(jnp.int32), axis=1
+        refpoint_undetach, init_box_proposal, tgt_undetach = two_stage_select(
+            output_memory, output_proposals, enc_delta, enc_logits,
+            self.num_queries,
         )
-        refpoint_undetach = gather(enc_coords_unsel)          # (B, Q, 4)
         refpoint = jax.lax.stop_gradient(refpoint_undetach)
-        init_box_proposal = jax.nn.sigmoid(gather(output_proposals))
-        tgt_undetach = gather(output_memory)                  # (B, Q, C)
 
         tgt_embed = self.param(
             "tgt_embed", nn.initializers.normal(1.0), (self.num_queries, C)
@@ -383,9 +400,9 @@ class Transformer(nn.Module):
                     v_dim=self.d_model, l_dim=self.d_model,
                     embed_dim=self.dim_feedforward // 2, num_heads=self.nhead // 2,
                     droppath=self.fusion_droppath,
+                    deterministic=deterministic,
                     name=f"fusion_{i}",
-                )(output, memory_text, kpm_q, text_pad,
-                  deterministic=deterministic)
+                )(output, memory_text, kpm_q, text_pad)
             if self.use_text_enhancer:
                 memory_text = TextEnhancerLayer(
                     d_model=self.d_model, nhead=self.nhead // 2,

@@ -109,6 +109,40 @@ def test_frozen_params_do_not_update():
     assert np.abs(fm_before - fm_after).max() > 0
 
 
+def test_remat_droppath_train_step():
+    """Regression: nn.remat traces every call argument, so the fusion
+    droppath branch must read `deterministic` as a static module attribute
+    — with use_checkpoint + fusion_droppath the default-config train path
+    crashed (TracerBoolConversionError) when it was a call kwarg."""
+    mesh = make_mesh()
+    model = GroundingDINO(
+        swin_cfg=SwinConfig(
+            embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 4),
+            window_size=4, out_indices=(1, 2, 3),
+        ),
+        bert_cfg=BertConfig(
+            vocab_size=40, hidden_size=32, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=32,
+            max_position_embeddings=32, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        ),
+        hidden_dim=32, num_queries=QN, nheads=4, num_feature_levels=4,
+        enc_layers=1, dec_layers=2, dim_feedforward=64, max_text_len=T,
+        use_checkpoint=True, use_transformer_ckpt=True, fusion_droppath=0.1,
+    )
+    batch = _batch(3)
+    init_batch = {
+        k: v for k, v in batch.items()
+        if k not in ("gt_boxes", "gt_pos_maps", "gt_valid")
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(3), **init_batch)["params"]
+    tx = make_optimizer(params, lr=1e-3, lr_backbone=1e-4)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, SetCriterion(num_queries=QN)))
+    new_state, metrics = step(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_bf16_train_step():
     """Mixed-precision step: fp32 params, bf16 compute."""
     mesh = make_mesh()
