@@ -60,6 +60,31 @@ def train_one_epoch(
     return state, stats
 
 
+def _pack_eval_records(evaluator) -> np.ndarray:
+    """Evaluator records -> one uint8 pickle buffer (numpy-only payload)."""
+    import pickle
+
+    payload = pickle.dumps((evaluator.img_ids, evaluator.eval_imgs))
+    return np.frombuffer(payload, np.uint8)
+
+
+def _merge_packed_records(
+    evaluator, gathered: np.ndarray, sizes, own_index: int
+) -> None:
+    """Merge other hosts' packed records into this evaluator.
+    gathered: (P, maxlen) uint8, row p valid up to sizes[p]."""
+    import pickle
+
+    for p in range(gathered.shape[0]):
+        if p == own_index:
+            continue
+        img_ids, eval_imgs = pickle.loads(
+            gathered[p, : int(sizes[p])].tobytes()
+        )
+        evaluator.img_ids.extend(img_ids)
+        evaluator.eval_imgs.update(eval_imgs)
+
+
 def _merge_eval_across_hosts(evaluator) -> None:
     """All-gather per-image match records so every host can accumulate the
     full-dataset metrics — the single-controller analog of the reference's
@@ -70,24 +95,16 @@ def _merge_eval_across_hosts(evaluator) -> None:
     multihost_utils.process_allgather (host callbacks are unavailable on this
     runtime, but allgather of host arrays is supported).
     """
-    import pickle
-
     from jax.experimental import multihost_utils
 
-    payload = pickle.dumps((evaluator.img_ids, evaluator.eval_imgs))
-    local = np.frombuffer(payload, np.uint8)
+    local = _pack_eval_records(evaluator)
     n = np.asarray([len(local)], np.int64)
     sizes = multihost_utils.process_allgather(n).reshape(-1)
     maxlen = int(sizes.max())
     padded = np.zeros((maxlen,), np.uint8)
     padded[: len(local)] = local
     gathered = multihost_utils.process_allgather(padded)  # (P, maxlen)
-    for p in range(gathered.shape[0]):
-        if p == jax.process_index():
-            continue
-        img_ids, eval_imgs = pickle.loads(gathered[p, : int(sizes[p])].tobytes())
-        evaluator.img_ids.extend(img_ids)
-        evaluator.eval_imgs.update(eval_imgs)
+    _merge_packed_records(evaluator, gathered, sizes, jax.process_index())
 
 
 def evaluate_coco(

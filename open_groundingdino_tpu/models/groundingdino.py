@@ -198,6 +198,9 @@ class GroundingDINO(nn.Module):
             "pred_logits": interm_class,
             "pred_boxes": t_out["ref_enc"],
         }
+        # Emitted for output-dict parity with the reference
+        # (groundingdino.py:361); unused by any criterion there as well —
+        # the reference's own consumer is commented out (:386).
         out["interm_outputs_for_matching_pre"] = {
             "pred_logits": interm_class,
             "pred_boxes": t_out["init_box_proposal"],

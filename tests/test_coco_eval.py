@@ -174,3 +174,55 @@ def test_per_area_rematch():
     assert abs(stats["APs"] - 0.1) < 1e-6
     # medium range: small GT ignored, det matches medium at .50....70
     assert abs(stats["APm"] - 0.5) < 1e-6
+
+
+def test_multihost_merge_equals_single_host():
+    """engine._merge_packed_records: two hosts each evaluating half the
+    dataset must accumulate to the same metrics as one evaluator that saw
+    everything (the reference's pickled all_gather merge,
+    util/misc.py:96-137 / cocogrounding_eval.py:66-69)."""
+    from open_groundingdino_tpu.engine import (
+        _merge_packed_records,
+        _pack_eval_records,
+    )
+
+    anns = [
+        (1, 1, (10, 10, 50, 60)),
+        (2, 1, (5, 5, 30, 30)),
+    ]
+    preds1 = {1: {
+        "scores": np.asarray([0.9]), "labels": np.asarray([1]),
+        "boxes": np.asarray([[10, 10, 60, 70]], np.float64),
+    }}
+    preds2 = {2: {
+        "scores": np.asarray([0.95]), "labels": np.asarray([1]),
+        "boxes": np.asarray([[6, 6, 36, 36]], np.float64),
+    }}
+
+    # single evaluator sees both images
+    ref = CocoBboxEvaluator(_mk_index(anns))
+    ref.update(preds1)
+    ref.update(preds2)
+    ref.accumulate()
+    want = ref.summarize()
+
+    # "host 0" sees image 1, "host 1" sees image 2; merge 1 into 0
+    ev0 = CocoBboxEvaluator(_mk_index(anns))
+    ev0.update(preds1)
+    ev1 = CocoBboxEvaluator(_mk_index(anns))
+    ev1.update(preds2)
+
+    p0 = _pack_eval_records(ev0)
+    p1 = _pack_eval_records(ev1)
+    sizes = np.asarray([len(p0), len(p1)], np.int64)
+    maxlen = int(sizes.max())
+    gathered = np.zeros((2, maxlen), np.uint8)
+    gathered[0, : len(p0)] = p0
+    gathered[1, : len(p1)] = p1
+
+    _merge_packed_records(ev0, gathered, sizes, own_index=0)
+    assert sorted(ev0.img_ids) == sorted(ref.img_ids)
+    ev0.accumulate()
+    got = ev0.summarize()
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-9, err_msg=k)

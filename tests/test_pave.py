@@ -126,3 +126,124 @@ def test_get_metrics_cli(tmp_path):
     assert "precision: 0.2500" in p.stdout
     assert "recall: 0.5000" in p.stdout
     assert "threshold sweep:" in p.stdout
+
+
+def test_crop_cap_at_max_crops():
+    """>max_crops candidate crops are randomly sampled down to the cap
+    (reference engine_multi.py random.sample(crops, 64))."""
+    # 4K-ish photo: a 1080p frame tops out at 32 windows, the >64 cap path
+    # only triggers on high-res source imagery
+    img = np.zeros((2160, 3840, 3), np.uint8)
+    car = (0, 0, 3840, 2160)
+    # full-car bbox + keep_empty => every sliding window is a candidate
+    crops_all = crop_utils.crops_with_boxes(
+        img, car, np.zeros((0, 4), np.float32),
+        np.zeros((0,), np.int64), keep_empty=True, max_crops=10_000,
+    )
+    assert len(crops_all) > 64
+    crops = crop_utils.crops_with_boxes(
+        img, car, np.zeros((0, 4), np.float32),
+        np.zeros((0,), np.int64), keep_empty=True, max_crops=64,
+        rng=np.random.RandomState(7),
+    )
+    assert len(crops) == 64
+    # deterministic under a fixed rng
+    crops2 = crop_utils.crops_with_boxes(
+        img, car, np.zeros((0, 4), np.float32),
+        np.zeros((0,), np.int64), keep_empty=True, max_crops=64,
+        rng=np.random.RandomState(7),
+    )
+    assert [c["crop_box"] for c in crops] == [c["crop_box"] for c in crops2]
+
+
+def test_empty_crop_drop_vs_keep():
+    img = np.zeros((1080, 1920, 3), np.uint8)
+    gt = np.asarray([[600, 500, 700, 560]], np.float32)
+    car = (400, 300, 1500, 900)
+    kept = crop_utils.crops_with_boxes(
+        img, car, gt, np.asarray([0]), keep_empty=True, max_crops=10_000
+    )
+    dropped = crop_utils.crops_with_boxes(
+        img, car, gt, np.asarray([0]), keep_empty=False, max_crops=10_000
+    )
+    assert len(dropped) < len(kept)
+    assert all(len(c["boxes"]) > 0 for c in dropped)
+
+
+def test_boundary_box_contained_in_overlapping_crop():
+    """A GT spanning one crop's boundary must still be fully inside some
+    other (stride-overlapped) crop and be translated correctly there."""
+    img = np.zeros((1080, 1920, 3), np.uint8)
+    car = (100, 100, 1800, 1000)
+    # box deliberately straddles x=712 (the first crop's right edge region)
+    gt = np.asarray([[650, 400, 800, 470]], np.float32)
+    crops = crop_utils.crops_with_boxes(
+        img, car, gt, np.asarray([0]), keep_empty=False, max_crops=10_000
+    )
+    assert crops, "no crop fully contains the boundary box"
+    for c in crops:
+        (cx0, cy0), (cx1, cy1) = c["crop_box"]
+        # containment in frame coords
+        assert cx0 <= 650 and 800 <= cx1 and cy0 <= 400 and 470 <= cy1
+        np.testing.assert_allclose(
+            c["boxes"][0],
+            [650 - cx0, 400 - cy0, 800 - cx0, 470 - cy0],
+        )
+
+
+def test_merge_nms_dedups_across_overlapping_crops():
+    """The same physical detection reported by two overlapping crops must
+    collapse to one frame-level box after NMS (reference
+    test_inference_new.py full-frame torchvision.nms merge)."""
+    cb_a = ((100, 100), (612, 612))
+    cb_b = ((356, 100), (868, 612))
+    frame_box = (400.0, 300.0, 500.0, 380.0)  # inside both crops
+    res_a = {
+        "scores": np.asarray([0.9]),
+        "boxes": np.asarray(
+            [crop_utils.translate_box_to_crop(frame_box, cb_a)], np.float32
+        ),
+    }
+    # crop B sees it 2px shifted at lower confidence
+    shifted = (frame_box[0] + 2, frame_box[1], frame_box[2] + 2, frame_box[3])
+    res_b = {
+        "scores": np.asarray([0.7]),
+        "boxes": np.asarray(
+            [crop_utils.translate_box_to_crop(shifted, cb_b)], np.float32
+        ),
+    }
+    merged = merge_crop_predictions([res_a, res_b], [cb_a, cb_b], nms_iou=0.5)
+    assert merged["boxes"].shape == (1, 4)
+    np.testing.assert_allclose(merged["boxes"][0], frame_box, atol=1e-5)
+    np.testing.assert_allclose(merged["scores"][0], 0.9)
+
+
+def test_full_frame_pipeline_perfect_predictions():
+    """1920x1080 frame, several damages, crops -> simulated perfect per-crop
+    detections -> merge -> frame metrics must be P=R=1."""
+    rng = np.random.RandomState(3)
+    img = np.zeros((1080, 1920, 3), np.uint8)
+    car = (200, 150, 1700, 950)
+    gt = np.stack(
+        [
+            np.stack([x, y, x + w, y + h])
+            for x, y, w, h in zip(
+                rng.uniform(300, 1500, 6), rng.uniform(250, 800, 6),
+                rng.uniform(30, 120, 6), rng.uniform(30, 100, 6),
+            )
+        ]
+    ).astype(np.float32)
+    samples, crop_boxes = crops_to_samples(
+        img, car, gt, np.zeros(len(gt), np.int64), "damage .", ["damage"]
+    )
+    assert samples and len(samples) == len(crop_boxes)
+    assert all(s.image.size == (512, 512) for s in samples)
+    # simulate: each crop perfectly detects the GT it contains
+    results = []
+    for s, cb in zip(samples, crop_boxes):
+        results.append(
+            {"scores": np.full(len(s.boxes), 0.9), "boxes": s.boxes}
+        )
+    merged = merge_crop_predictions(results, crop_boxes)
+    stats = evaluate_frames([merged["boxes"]], [gt])
+    assert stats["precision"] == 1.0 and stats["recall"] == 1.0
