@@ -75,12 +75,20 @@ class MultiHeadAttention(nn.Module):
 
 class BiMultiHeadAttention(nn.Module):
     """Bidirectional image<->text cross-attention from one logits matrix
-    (reference fuse_modules.py:99-248), stability clamps included."""
+    (reference fuse_modules.py:99-248), stability clamps included.
+
+    impl: 'xla' keeps the literal reference formulation (materialized
+    logits, global-max shift, clamps); 'pallas' streams image-token blocks
+    through ops/fusion_pallas.fused_bi_attention and never materializes the
+    (B, H, Nv, Nl) logits (~330 MB/layer at encoder scale).  Softmax
+    shift-invariance makes the two numerically equal while the +-50000
+    clamps don't bind (parity-tested); 'auto' = pallas on TPU."""
 
     v_dim: int
     l_dim: int
     embed_dim: int
     num_heads: int
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, v, l, attention_mask_v=None, attention_mask_l=None):
@@ -96,6 +104,37 @@ class BiMultiHeadAttention(nn.Module):
         k = nn.Dense(self.embed_dim, name="l_proj")(l)
         val_v = nn.Dense(self.embed_dim, name="values_v_proj")(v)
         val_l = nn.Dense(self.embed_dim, name="values_l_proj")(l)
+
+        impl = self.impl
+        if impl == "auto":
+            try:
+                impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+            except Exception:
+                impl = "xla"
+        if impl == "pallas":
+            from ..ops.fusion_pallas import fused_bi_attention
+
+            to_bh = lambda t, N: jnp.transpose(
+                t.reshape(B, N, H, D), (0, 2, 1, 3)
+            ).reshape(B * H, N, D)
+            mk = lambda m, N: (
+                jnp.broadcast_to(m[:, None, :], (B, H, N)).reshape(B * H, N)
+                if m is not None
+                else jnp.zeros((B * H, N), bool)
+            )
+            out_v, out_l = fused_bi_attention(
+                to_bh(q, Nv), to_bh(k, Nl), to_bh(val_v, Nv), to_bh(val_l, Nl),
+                mk(attention_mask_v, Nv), mk(attention_mask_l, Nl),
+            )
+            out_v = jnp.transpose(
+                out_v.reshape(B, H, Nv, D), (0, 2, 1, 3)
+            ).reshape(B, Nv, self.embed_dim)
+            out_l = jnp.transpose(
+                out_l.reshape(B, H, Nl, D), (0, 2, 1, 3)
+            ).reshape(B, Nl, self.embed_dim)
+            out_v = nn.Dense(self.v_dim, name="out_v_proj")(out_v)
+            out_l = nn.Dense(self.l_dim, name="out_l_proj")(out_l)
+            return out_v, out_l
 
         q = q.reshape(B, Nv, H, D)
         k = k.reshape(B, Nl, H, D)
@@ -160,14 +199,22 @@ class BiAttentionBlock(nn.Module):
     # static module attribute, NOT a call argument: under nn.remat every
     # call argument is traced, and the droppath branch needs a Python bool
     deterministic: bool = True
+    fusion_impl: str = "auto"
 
     @nn.compact
     def __call__(self, v, l, attention_mask_v=None, attention_mask_l=None):
         deterministic = self.deterministic
+        # the flash fusion kernel has no backward yet: 'auto' takes it only
+        # on the no-grad (deterministic) path; training runs the XLA
+        # formulation (which remat already recomputes)
+        impl = self.fusion_impl
+        if impl == "auto" and not deterministic:
+            impl = "xla"
         vn = nn.LayerNorm(name="layer_norm_v")(v)
         ln = nn.LayerNorm(name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(
-            self.v_dim, self.l_dim, self.embed_dim, self.num_heads, name="attn"
+            self.v_dim, self.l_dim, self.embed_dim, self.num_heads,
+            impl=impl, name="attn",
         )(vn, ln, attention_mask_v, attention_mask_l)
         gamma_v = self.param(
             "gamma_v", nn.initializers.constant(self.init_values), (self.v_dim,)

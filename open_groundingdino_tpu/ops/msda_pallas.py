@@ -30,6 +30,7 @@ weight computation).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -41,10 +42,26 @@ from .msda import _corner_indices_and_weights, ms_deform_attn_xla
 
 Shapes = Tuple[Tuple[int, int], ...]
 
-QBLOCK = 128
+QBLOCK = int(os.environ.get("MSDA_QBLOCK", "128"))
 TILE = 128
 GROUP = 16  # taps per sweep group = one level; finer groups lose to per-tile-iteration fixed costs (GROUP=4 measured 2.2x slower e2e)
+GROUP_ROWS = 8  # row-taps per sweep group = one level (rowtap variant)
 VPT = TILE // 8  # vreg row-slabs per source tile (ranges are vreg-granular)
+
+# forward S-build scheme: 'rowtap' (default) = 2 relu-distance row-taps per
+# sample point (bilinear x-weights computed as max(0, 1-|px-lane|), edge
+# taps pre-collapsed to integer positions so grid_sample zero-padding stays
+# exact); 'corner' = 4 compare/select taps per point.  Rowtap measured
+# 9.544 vs 9.055 img/s e2e (bench.py, init-like offsets; neutral at
+# trained-like spreads).  Env-overridable for A/B benching.
+FWD_VARIANT = os.environ.get("MSDA_FWD_VARIANT", "rowtap")
+# source-tile height for the rowtap sweep (per-tile fixed costs amortize
+# with larger tiles; narrow ranges waste compares) — A/B knob
+# 384 measured best e2e: 128 -> 9.588, 256 -> 11.10, 384 -> 11.656 img/s
+# (512 blew Mosaic compile time via SSA register pressure)
+RT_TILE = int(os.environ.get("MSDA_TILE", "384"))
+# backward sweep tile (scratch-based S rebuild, same amortization logic)
+BWD_TILE = int(os.environ.get("MSDA_BWD_TILE", "128"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -210,6 +227,189 @@ def _tile_ranges(idx: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
     return ranges.reshape(-1).astype(jnp.int32)
 
 
+def _rowtap_positions_and_weights_t(locs_t, attn_t, spatial_shapes):
+    """Row-tap expansion in kernel layout (rowtap forward variant).
+
+    Each sample point becomes TWO row-taps (y0 row, y1 row) instead of four
+    corner taps: within a row the two bilinear x-corners are covered by one
+    continuous position px with lane weight max(0, 1-|px - lane|).  Interior
+    points (both x-corners in range) keep fractional px; edge points
+    collapse to the single valid corner at an *integer* px (exact: the relu
+    hits 1 at that lane, 0 elsewhere), matching grid_sample zero padding.
+
+    locs_t: (BH, NL, P, 2, Q) f32; attn_t: (BH, NL, P, Q).
+    Returns (px, w): (BH, NL*P*2, Q) f32 — flat continuous positions and
+    combined weights (w == 0 rows are dead)."""
+    level_start = 0
+    px_parts, w_parts = [], []
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        pxc = locs_t[:, lvl, :, 0, :] * Wl - 0.5   # (BH, P, Q)
+        pyc = locs_t[:, lvl, :, 1, :] * Hl - 0.5
+        a = attn_t[:, lvl]
+        x0 = jnp.floor(pxc)
+        fx = pxc - x0
+        y0 = jnp.floor(pyc)
+        fy = pyc - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        v0 = (x0i >= 0) & (x0i <= Wl - 1)
+        v1 = (x0i + 1 >= 0) & (x0i + 1 <= Wl - 1)
+        interior = v0 & v1
+        # edge: the one valid corner at integer position (w=0 if none)
+        edge_px = jnp.where(v0, x0, x0 + 1.0)
+        edge_wx = jnp.where(v0, 1.0 - fx, jnp.where(v1, fx, 0.0))
+        px_x = jnp.where(interior, pxc, edge_px)
+        wx = jnp.where(interior, 1.0, edge_wx)
+        # keep dead-tap positions in range so they don't widen sweep ranges
+        px_x = jnp.clip(px_x, 0.0, float(max(Wl - 1, 0)))
+
+        for yc, wy in ((y0i, 1.0 - fy), (y0i + 1, fy)):
+            yv = (yc >= 0) & (yc <= Hl - 1)
+            w_row = jnp.where(yv, wy * wx * a, 0.0)
+            row_base = level_start + jnp.clip(yc, 0, Hl - 1) * Wl
+            px_parts.append(row_base.astype(jnp.float32) + px_x)  # (BH, P, Q)
+            w_parts.append(w_row)
+        level_start += Hl * Wl
+    # (BH, NL, 2, P, Q) -> (BH, NL*2*P, Q); group = one level = 2*P rows
+    BH = locs_t.shape[0]
+    Q = locs_t.shape[-1]
+    NL = len(spatial_shapes)
+    P = locs_t.shape[2]
+    px = jnp.stack(px_parts, axis=1).reshape(BH, NL, 2, P, Q)
+    w = jnp.stack(w_parts, axis=1).reshape(BH, NL, 2, P, Q)
+    return px.reshape(BH, -1, Q), w.reshape(BH, -1, Q)
+
+
+def _rowtap_tile_ranges(px: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
+    """Per-(block, level-group) [vmin, vmax] vreg ranges for the rowtap
+    variant: a row-tap at px touches lanes floor(px) and floor(px)+1.
+    px/w: (BH, n_rows, Q_pad) -> (BH*nqb*n_groups*2,) int32."""
+    BH, n_rows, Q_pad = px.shape
+    n_groups = -(-n_rows // GROUP_ROWS)
+    pad = n_groups * GROUP_ROWS - n_rows
+    if pad:
+        px = jnp.pad(px, ((0, 0), (0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
+    lo = jnp.floor(px).astype(jnp.int32)
+    hi = lo + 1
+    live = w != 0.0
+    g_lo = lo.reshape(BH, n_groups, -1, nqb, QBLOCK)
+    g_hi = hi.reshape(BH, n_groups, -1, nqb, QBLOCK)
+    g_live = live.reshape(BH, n_groups, -1, nqb, QBLOCK)
+    fill_lo = g_lo[:, :, 0:1]
+    fill_hi = g_hi[:, :, 0:1]
+    tmin = jnp.min(jnp.where(g_live, g_lo, fill_lo), axis=(2, 4)) // 8
+    tmax = jnp.max(jnp.where(g_live, g_hi, fill_hi), axis=(2, 4)) // 8
+    ranges = jnp.stack([tmin, tmax], axis=-1)
+    ranges = jnp.transpose(ranges, (0, 2, 1, 3))
+    return ranges.reshape(-1).astype(jnp.int32)
+
+
+def _msda_rowtap_kernel(
+    ranges_ref, value_ref, px_ref, w_ref, out_ref, acc_ref,
+    *, n_rows: int, l_pad: int,
+):
+    """Rowtap forward. Grid: (BH, NQB).  Same sweep structure as
+    _msda_kernel, but S is built from n_rows = NL*P*2 relu-distance row-taps
+    (6 VPU ops each) instead of NL*P*4 compare/select corner taps — fewer
+    sweep rows, fewer VMEM tap slices, no integer lane math.
+
+    The kernel is bound by per-tile-iteration FIXED costs, not the S-build
+    (measured: corner->rowtap S-build halving left kernel time unchanged).
+    With only GROUP_ROWS=8 rows per group, S fits a short SSA chain — no
+    scratch zero/accumulate round-trip per tile iteration.
+    px_ref/w_ref: (1, n_rows, QBLOCK) f32."""
+    D = value_ref.shape[1]
+    n_groups = -(-n_rows // GROUP_ROWS)
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
+
+    px = px_ref[0]            # (n_rows, 128q) f32
+    w = w_ref[0]
+
+    # int32 iota then cast: Mosaic has no float iota on this stack
+    srclane = jax.lax.broadcasted_iota(
+        jnp.int32, (RT_TILE, QBLOCK), 0
+    ).astype(jnp.float32)
+    acc_ref[:] = jnp.zeros((QBLOCK, D), jnp.float32)
+    bf16 = value_ref.dtype == jnp.bfloat16
+
+    rbase = (bh * nqb + qb) * n_groups * 2
+    for gi, g0 in enumerate(range(0, n_rows, GROUP_ROWS)):
+        g1 = min(g0 + GROUP_ROWS, n_rows)
+        tmin = ranges_ref[rbase + 2 * gi] // (RT_TILE // 8)
+        tmax = ranges_ref[rbase + 2 * gi + 1] // (RT_TILE // 8)
+
+        def tile_body(tt, _, g0=g0, g1=g1):
+            src_t = value_ref[0, :, pl.ds(tt * RT_TILE, RT_TILE)]
+            tilepos = srclane + (tt * RT_TILE).astype(jnp.float32)
+
+            d = px[g0 : g0 + 1, :] - tilepos            # (128, 128q)
+            s = jnp.maximum(1.0 - jnp.abs(d), 0.0) * w[g0 : g0 + 1, :]
+            for t in range(g0 + 1, g1):
+                d = px[t : t + 1, :] - tilepos
+                s = s + jnp.maximum(1.0 - jnp.abs(d), 0.0) * w[t : t + 1, :]
+
+            if bf16:
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    s.astype(jnp.bfloat16), src_t,
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    s, src_t.astype(jnp.float32),
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+            return 0
+
+        jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
+
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _msda_pallas_fwd_rowtap_impl(
+    value_t: jnp.ndarray,   # (BH, D, L_pad)
+    px: jnp.ndarray,        # (BH, n_rows, Q_pad) f32
+    w: jnp.ndarray,         # (BH, n_rows, Q_pad) f32
+) -> jnp.ndarray:           # (BH, Q_pad, D)
+    BH, D, L_pad = value_t.shape
+    _, n_rows, Q_pad = px.shape
+    nqb = Q_pad // QBLOCK
+
+    kernel = functools.partial(_msda_rowtap_kernel, n_rows=n_rows, l_pad=L_pad)
+    interpret = jax.devices()[0].platform != "tpu"
+    ranges = _rowtap_tile_ranges(px, w, nqb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, nqb),
+        in_specs=[
+            pl.BlockSpec((1, D, L_pad), lambda bh, qb, r: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_rows, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_rows, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, QBLOCK, D), lambda bh, qb, r: (bh, qb, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((QBLOCK, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, Q_pad, D), value_t.dtype),
+    )(ranges, value_t, px, w)
+
+
 def _corner_indices_and_weights_t(locs_t, attn_t, spatial_shapes):
     """Corner expansion computed directly in kernel layout.
 
@@ -298,9 +498,29 @@ def ms_deform_attn_pallas(
     """Same contract as ops.msda.ms_deform_attn_xla; Pallas forward."""
     B, L, H, D = value.shape
     Q = sampling_locations.shape[1]
-    value_t, idx_k, w_k, Q_pad = _prepare(
-        value, spatial_shapes, sampling_locations, attention_weights
-    )
+    rowtap = FWD_VARIANT == "rowtap"
+    if rowtap:
+        locs_t = jnp.transpose(
+            sampling_locations.astype(jnp.float32), (0, 2, 3, 4, 5, 1)
+        ).reshape(B * H, *sampling_locations.shape[3:5], 2, Q)
+        attn_t = jnp.transpose(
+            attention_weights.astype(jnp.float32), (0, 2, 3, 4, 1)
+        ).reshape(B * H, *attention_weights.shape[3:5], Q)
+        idx_k, w_k = _rowtap_positions_and_weights_t(
+            locs_t, attn_t, spatial_shapes
+        )
+        Q_pad = _round_up(Q, QBLOCK)
+        if Q_pad != Q:
+            idx_k = jnp.pad(idx_k, ((0, 0), (0, 0), (0, Q_pad - Q)))
+            w_k = jnp.pad(w_k, ((0, 0), (0, 0), (0, Q_pad - Q)))
+        L_pad = _round_up(L, RT_TILE)
+        value_t = jnp.transpose(value, (0, 2, 3, 1)).reshape(B * H, D, L)
+        if L_pad != L:
+            value_t = jnp.pad(value_t, ((0, 0), (0, 0), (0, L_pad - L)))
+    else:
+        value_t, idx_k, w_k, Q_pad = _prepare(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
 
     # Decoder-style query sets (Q != L) are spatially unsorted, so a
     # 128-query block's tap range spans whole levels.  Sorting queries by
@@ -309,12 +529,16 @@ def ms_deform_attn_pallas(
     # Encoder self-attention (Q == L) is already raster-local.
     sort_queries = Q != L
     if sort_queries:
-        order = jnp.argsort(idx_k[:, 0, :], axis=1)          # (BH, Q_pad)
+        key0 = idx_k[:, 0, :]
+        order = jnp.argsort(key0, axis=1)                    # (BH, Q_pad)
         inv = jnp.argsort(order, axis=1)
         idx_k = jnp.take_along_axis(idx_k, order[:, None, :], axis=2)
         w_k = jnp.take_along_axis(w_k, order[:, None, :], axis=2)
 
-    out = _msda_pallas_fwd_impl(value_t, idx_k, w_k)  # (BH, Q_pad, D)
+    if rowtap:
+        out = _msda_pallas_fwd_rowtap_impl(value_t, idx_k, w_k)
+    else:
+        out = _msda_pallas_fwd_impl(value_t, idx_k, w_k)  # (BH, Q_pad, D)
     if sort_queries:
         out = jnp.take_along_axis(out, inv[:, :, None], axis=1)
     out = out.reshape(B, H, Q_pad, D)[:, :, :Q]
@@ -363,20 +587,20 @@ def _msda_bwd_kernel(
     g_q_mm = g_ref[0].astype(jnp.bfloat16) if bf16 else g_q
     prec = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
 
-    srclane = jax.lax.broadcasted_iota(jnp.int32, (TILE, QBLOCK), 0)
+    srclane = jax.lax.broadcasted_iota(jnp.int32, (BWD_TILE, QBLOCK), 0)
     gw_ref[0] = jnp.zeros((n_taps, QBLOCK), jnp.float32)
 
     rbase = (bh * nqb + qb) * n_groups * 2
     for gi, g0 in enumerate(range(0, n_taps, GROUP)):
         g1 = min(g0 + GROUP, n_taps)
         # ranges are vreg-granular (see _tile_ranges); tile bounds mirror the
-        # forward's vmin // VPT derivation
-        tmin = ranges_ref[rbase + 2 * gi] // VPT
-        tmax = ranges_ref[rbase + 2 * gi + 1] // VPT
+        # forward's vmin-vreg derivation
+        tmin = ranges_ref[rbase + 2 * gi] // (BWD_TILE // 8)
+        tmax = ranges_ref[rbase + 2 * gi + 1] // (BWD_TILE // 8)
 
         def tile_body(tt, _, g0=g0, g1=g1):
-            src_t = value_ref[0, :, pl.ds(tt * TILE, TILE)]  # (D, 128src)
-            base = tt * TILE
+            src_t = value_ref[0, :, pl.ds(tt * BWD_TILE, BWD_TILE)]
+            base = tt * BWD_TILE
 
             # ---- rebuild S_T and per-tap masks; accumulate grad_w ----
             # P[src, q] = sum_d V[src, d] * g[q, d]
@@ -388,13 +612,13 @@ def _msda_bwd_kernel(
             )  # (128src, 128q)
 
             CH = 8
-            s_ref[:] = jnp.zeros((TILE, QBLOCK), jnp.float32)
+            s_ref[:] = jnp.zeros((BWD_TILE, QBLOCK), jnp.float32)
             for c in range(g0, g1, CH):
-                part = jnp.zeros((TILE, QBLOCK), jnp.float32)
+                part = jnp.zeros((BWD_TILE, QBLOCK), jnp.float32)
                 for t in range(c, min(c + CH, g1)):
                     it = idx[t : t + 1, :] - base   # (1, 128q)
                     wt = w[t : t + 1, :]
-                    mask = srclane == it            # (128src, 128q)
+                    mask = srclane == it            # (src, 128q)
                     part = part + jnp.where(mask, wt, 0.0)
                     # grad of the combined tap weight: value at the tap
                     # position dotted with the cotangent
@@ -405,8 +629,8 @@ def _msda_bwd_kernel(
 
             # ---- scatter the cotangent into grad_value ----
             # grad_V_T[d, src] += sum_q g[q, d] * S_T[src, q]
-            gv_ref[0, :, pl.ds(tt * TILE, TILE)] = gv_ref[
-                0, :, pl.ds(tt * TILE, TILE)
+            gv_ref[0, :, pl.ds(tt * BWD_TILE, BWD_TILE)] = gv_ref[
+                0, :, pl.ds(tt * BWD_TILE, BWD_TILE)
             ] + jax.lax.dot_general(
                 g_q_mm, s_ref[:].astype(g_q_mm.dtype),
                 dimension_numbers=(((0,), (1,)), ((), ())),
@@ -447,7 +671,7 @@ def _msda_pallas_bwd_impl(value_t, idx, w, g_k):
             pl.BlockSpec((1, n_taps, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((TILE, QBLOCK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BWD_TILE, QBLOCK), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -475,6 +699,12 @@ def _bwd(spatial_shapes, residuals, g):
     n_taps = NL * P * 4
 
     value_t, idx_k, w_k, Q_pad = _prepare(value, spatial_shapes, locs, attn)
+    if BWD_TILE != TILE:  # bwd sweep tile may exceed the prep's 128 padding
+        L_pad_b = _round_up(value_t.shape[-1], BWD_TILE)
+        if L_pad_b != value_t.shape[-1]:
+            value_t = jnp.pad(
+                value_t, ((0, 0), (0, 0), (0, L_pad_b - value_t.shape[-1]))
+            )
     # cotangent in kernel layout (BH, Q_pad, D)
     g_k = jnp.transpose(
         g.reshape(B, Q, H, D), (0, 2, 1, 3)

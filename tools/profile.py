@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--width", type=int, default=1216)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="bfloat16 matches the bench.py path")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +53,13 @@ def main():
         text_self_attention_masks=np.ones((B, T, T), bool),
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+    if args.compute_dtype == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params,
+        )
+        inputs["images"] = inputs["images"].astype(jnp.bfloat16)
 
     @jax.jit
     def fwd(v, **kw):
