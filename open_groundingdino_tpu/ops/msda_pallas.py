@@ -745,3 +745,103 @@ def _bwd(spatial_shapes, residuals, g):
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout entry: callers that produce projections directly in
+# kernel layout (models/deformable.py einsum path) skip every big transpose
+# — the (B, L, H, D) <-> (BH, D, L) value flips and (B, Q, ...) <-> (..., Q)
+# tap flips cost ~2.8 ms/encoder-layer at bench shapes in XLA copies.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_pallas_t(
+    value_t: jnp.ndarray,   # (BH, D, L)
+    spatial_shapes: Shapes,
+    locs_t: jnp.ndarray,    # (BH, NL, P, 2, Q) f32
+    attn_t: jnp.ndarray,    # (BH, NL, P, Q) f32
+) -> jnp.ndarray:           # (BH, Q, D)
+    BH, D, L = value_t.shape
+    Q = locs_t.shape[-1]
+    idx_k, w_k = _rowtap_positions_and_weights_t(
+        locs_t.astype(jnp.float32), attn_t.astype(jnp.float32), spatial_shapes
+    )
+    Q_pad = _round_up(Q, QBLOCK)
+    if Q_pad != Q:
+        idx_k = jnp.pad(idx_k, ((0, 0), (0, 0), (0, Q_pad - Q)))
+        w_k = jnp.pad(w_k, ((0, 0), (0, 0), (0, Q_pad - Q)))
+    L_pad = _round_up(L, RT_TILE)
+    if L_pad != L:
+        value_t = jnp.pad(value_t, ((0, 0), (0, 0), (0, L_pad - L)))
+
+    sort_queries = Q != L
+    if sort_queries:
+        order = jnp.argsort(idx_k[:, 0, :], axis=1)
+        inv = jnp.argsort(order, axis=1)
+        idx_k = jnp.take_along_axis(idx_k, order[:, None, :], axis=2)
+        w_k = jnp.take_along_axis(w_k, order[:, None, :], axis=2)
+
+    out = _msda_pallas_fwd_rowtap_impl(value_t, idx_k, w_k)
+    if sort_queries:
+        out = jnp.take_along_axis(out, inv[:, :, None], axis=1)
+    return out[:, :Q]
+
+
+def _fwd_t(value_t, spatial_shapes, locs_t, attn_t):
+    out = ms_deform_attn_pallas_t(value_t, spatial_shapes, locs_t, attn_t)
+    return out, (value_t, locs_t, attn_t)
+
+
+def _bwd_t(spatial_shapes, residuals, g):
+    """g: (BH, Q, D) -> grads in the same transposed layouts."""
+    value_t, locs_t, attn_t = residuals
+    BH, D, L = value_t.shape
+    NL, P, Q = locs_t.shape[1], locs_t.shape[2], locs_t.shape[-1]
+    n_taps = NL * P * 4
+
+    idx_k, w_k = _corner_indices_and_weights_t(
+        locs_t.astype(jnp.float32), attn_t.astype(jnp.float32), spatial_shapes
+    )
+    Q_pad = _round_up(Q, QBLOCK)
+    if Q_pad != Q:
+        idx_k = jnp.pad(idx_k, ((0, 0), (0, 0), (0, Q_pad - Q)))
+        w_k = jnp.pad(w_k, ((0, 0), (0, 0), (0, Q_pad - Q)))
+    L_pad = _round_up(L, max(TILE, BWD_TILE))
+    vt = value_t
+    if L_pad != L:
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, L_pad - L)))
+    g_k = g
+    if Q_pad != Q:
+        g_k = jnp.pad(g_k, ((0, 0), (0, Q_pad - Q), (0, 0)))
+
+    sort_queries = Q != L
+    if sort_queries:
+        order = jnp.argsort(idx_k[:, 0, :], axis=1)
+        inv = jnp.argsort(order, axis=1)
+        idx_k = jnp.take_along_axis(idx_k, order[:, None, :], axis=2)
+        w_k = jnp.take_along_axis(w_k, order[:, None, :], axis=2)
+        g_k = jnp.take_along_axis(g_k, order[:, :, None], axis=1)
+
+    gv_t, gw = _msda_pallas_bwd_impl(vt, idx_k, w_k, g_k)
+    if sort_queries:
+        gw = jnp.take_along_axis(gw, inv[:, None, :], axis=2)
+    grad_value_t = gv_t[:, :, :L].astype(value_t.dtype)
+
+    def weights_fn(locs_, attn_):
+        _, bw = _corner_indices_and_weights_t(
+            locs_.astype(jnp.float32),
+            jnp.ones_like(attn_, jnp.float32), spatial_shapes,
+        )
+        # _corner_indices_and_weights_t folds attn in; recover pure bilinear
+        # by passing attn=1 and multiplying here (keeps one code path)
+        bw = bw.reshape(BH, NL, P, 4, Q)
+        w_ = bw * attn_.astype(jnp.float32)[:, :, :, None, :]
+        return w_.reshape(BH, n_taps, Q)
+
+    _, wvjp = jax.vjp(weights_fn, locs_t, attn_t)
+    grad_locs_t, grad_attn_t = wvjp(gw[:, :, :Q])
+    return grad_value_t, grad_locs_t, grad_attn_t
+
+
+ms_deform_attn_pallas_t.defvjp(_fwd_t, _bwd_t)

@@ -87,3 +87,63 @@ def test_pallas_vjp_matches_xla():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=2e-4)
+
+
+def test_msda_module_transposed_path_matches_xla():
+    """models/deformable.MSDeformAttn impl='pallas' (the einsum kernel-layout
+    flow + ms_deform_attn_pallas_t) vs impl='xla' with identical params —
+    both the encoder case (Q == L, 2-d refs) and the decoder case (Q != L,
+    4-d refs, query sorting)."""
+    from open_groundingdino_tpu.models.deformable import MSDeformAttn
+
+    rng = np.random.RandomState(11)
+    C, Hh = 16, 4
+    query_l = jnp.asarray(rng.randn(B, L, C), jnp.float32)
+    value = jnp.asarray(rng.randn(B, L, C), jnp.float32)
+    kpm = np.zeros((B, L), bool)
+    kpm[0, -9:] = True
+    kpm = jnp.asarray(kpm)
+
+    # encoder case: 2-d reference points
+    ref2 = jnp.asarray(rng.rand(B, L, NL, 2), jnp.float32)
+    mod_x = MSDeformAttn(C, Hh, NL, P, impl="xla")
+    params = mod_x.init(jax.random.PRNGKey(0), query_l, value, ref2,
+                        SHAPES, kpm)
+    out_x = mod_x.apply(params, query_l, value, ref2, SHAPES, kpm)
+    mod_p = MSDeformAttn(C, Hh, NL, P, impl="pallas")
+    out_p = mod_p.apply(params, query_l, value, ref2, SHAPES, kpm)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-5)
+
+    # decoder case: Q != L, 4-d reference boxes + grads through both paths
+    Qd = 7
+    query_d = jnp.asarray(rng.randn(B, Qd, C), jnp.float32)
+    ref4 = jnp.asarray(
+        np.concatenate([rng.rand(B, Qd, NL, 2),
+                        rng.uniform(0.05, 0.4, (B, Qd, NL, 2))], -1),
+        jnp.float32,
+    )
+
+    def loss(mod, p):
+        return jnp.sum(
+            mod.apply(p, query_d, value, ref4, SHAPES, kpm) ** 2
+        )
+
+    out_x = mod_x.apply(params, query_d, value, ref4, SHAPES, kpm)
+    out_p = mod_p.apply(params, query_d, value, ref4, SHAPES, kpm)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-5)
+
+    gx = jax.grad(lambda p: loss(mod_x, p))(params)
+    gp = jax.grad(lambda p: loss(mod_p, p))(params)
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_p = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(gp)
+    )
+    for k, vx in flat_x:
+        vp = flat_p[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(vp), np.asarray(vx), rtol=5e-4, atol=5e-4,
+            err_msg=jax.tree_util.keystr(k),
+        )
