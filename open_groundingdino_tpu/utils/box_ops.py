@@ -6,6 +6,7 @@ functions, no asserts on traced values, fully broadcastable.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -83,3 +84,76 @@ def generalized_box_iou_elementwise(boxes1, boxes2):
     wh = jnp.clip(rb - lt, min=0)
     area = wh[..., 0] * wh[..., 1]
     return iou - (area - union) / area
+
+
+def ciou_loss(bboxes1: jnp.ndarray, bboxes2: jnp.ndarray) -> jnp.ndarray:
+    """Complete-IoU loss, 1 - CIoU (reference util/box_loss.py:7-57).
+
+    Faithful to the reference's (unusual) parameterization: inputs are raw
+    box params passed through sigmoid, with widths/heights exp'd from the
+    sigmoided values.  Elementwise over matched pairs (N, 4) -> (N,).
+    Unused by the shipped configs (box loss is L1 + GIoU) but part of the
+    reference surface."""
+    import math as _math
+
+    b1 = jax.nn.sigmoid(bboxes1.astype(jnp.float32))
+    b2 = jax.nn.sigmoid(bboxes2.astype(jnp.float32))
+    w1, h1 = jnp.exp(b1[:, 2]), jnp.exp(b1[:, 3])
+    w2, h2 = jnp.exp(b2[:, 2]), jnp.exp(b2[:, 3])
+    area1, area2 = w1 * h1, w2 * h2
+    cx1, cy1, cx2, cy2 = b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1]
+
+    inter_w = jnp.clip(
+        jnp.minimum(cx1 + w1 / 2, cx2 + w2 / 2)
+        - jnp.maximum(cx1 - w1 / 2, cx2 - w2 / 2), 0)
+    inter_h = jnp.clip(
+        jnp.minimum(cy1 + h1 / 2, cy2 + h2 / 2)
+        - jnp.maximum(cy1 - h1 / 2, cy2 - h2 / 2), 0)
+    inter = inter_w * inter_h
+    c_w = jnp.clip(
+        jnp.maximum(cx1 + w1 / 2, cx2 + w2 / 2)
+        - jnp.minimum(cx1 - w1 / 2, cx2 - w2 / 2), 0)
+    c_h = jnp.clip(
+        jnp.maximum(cy1 + h1 / 2, cy2 + h2 / 2)
+        - jnp.minimum(cy1 - h1 / 2, cy2 - h2 / 2), 0)
+    inter_diag = (cx2 - cx1) ** 2 + (cy2 - cy1) ** 2
+    c_diag = c_w ** 2 + c_h ** 2
+    union = area1 + area2 - inter
+    u = inter_diag / c_diag
+    iou = inter / union
+    v = (4 / _math.pi ** 2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    alpha = jax.lax.stop_gradient(
+        jnp.where(iou > 0.5, v / (1 - iou + v), 0.0)
+    )
+    cious = jnp.clip(iou - u - alpha * v, -1.0, 1.0)
+    return 1 - cious
+
+
+def diou_loss(bboxes1: jnp.ndarray, bboxes2: jnp.ndarray) -> jnp.ndarray:
+    """Distance-IoU loss, 1 - DIoU (reference util/box_loss.py:59-111);
+    same parameterization notes as ciou_loss."""
+    b1 = jax.nn.sigmoid(bboxes1.astype(jnp.float32))
+    b2 = jax.nn.sigmoid(bboxes2.astype(jnp.float32))
+    w1, h1 = jnp.exp(b1[:, 2]), jnp.exp(b1[:, 3])
+    w2, h2 = jnp.exp(b2[:, 2]), jnp.exp(b2[:, 3])
+    area1, area2 = w1 * h1, w2 * h2
+    cx1, cy1, cx2, cy2 = b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1]
+
+    inter_w = jnp.clip(
+        jnp.minimum(cx1 + w1 / 2, cx2 + w2 / 2)
+        - jnp.maximum(cx1 - w1 / 2, cx2 - w2 / 2), 0)
+    inter_h = jnp.clip(
+        jnp.minimum(cy1 + h1 / 2, cy2 + h2 / 2)
+        - jnp.maximum(cy1 - h1 / 2, cy2 - h2 / 2), 0)
+    inter = inter_w * inter_h
+    c_w = jnp.clip(
+        jnp.maximum(cx1 + w1 / 2, cx2 + w2 / 2)
+        - jnp.minimum(cx1 - w1 / 2, cx2 - w2 / 2), 0)
+    c_h = jnp.clip(
+        jnp.maximum(cy1 + h1 / 2, cy2 + h2 / 2)
+        - jnp.minimum(cy1 - h1 / 2, cy2 - h2 / 2), 0)
+    inter_diag = (cx2 - cx1) ** 2 + (cy2 - cy1) ** 2
+    c_diag = c_w ** 2 + c_h ** 2
+    union = area1 + area2 - inter
+    dious = jnp.clip(inter / union - inter_diag / c_diag, -1.0, 1.0)
+    return 1 - dious

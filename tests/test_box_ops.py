@@ -61,3 +61,69 @@ def test_elementwise_matches_diagonal():
     g_pair = box_ops.generalized_box_iou(a, b)
     g_elem = box_ops.generalized_box_iou_elementwise(a, b)
     np.testing.assert_allclose(np.asarray(jnp.diag(g_pair)), np.asarray(g_elem), atol=1e-6)
+
+
+def test_ciou_diou_vs_torch_oracle():
+    """ciou_loss/diou_loss vs a hand-built torch implementation of the
+    reference formula (util/box_loss.py:7-111), including the sigmoid+exp
+    parameterization and the alpha gating at IoU>0.5."""
+    import math
+    import torch
+
+    from open_groundingdino_tpu.utils.box_ops import ciou_loss, diou_loss
+
+    def t_ciou(b1, b2):
+        b1, b2 = torch.sigmoid(b1), torch.sigmoid(b2)
+        w1, h1 = torch.exp(b1[:, 2]), torch.exp(b1[:, 3])
+        w2, h2 = torch.exp(b2[:, 2]), torch.exp(b2[:, 3])
+        a1, a2 = w1 * h1, w2 * h2
+        cx1, cy1, cx2, cy2 = b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1]
+        il = torch.max(cx1 - w1 / 2, cx2 - w2 / 2)
+        ir = torch.min(cx1 + w1 / 2, cx2 + w2 / 2)
+        it = torch.max(cy1 - h1 / 2, cy2 - h2 / 2)
+        ib = torch.min(cy1 + h1 / 2, cy2 + h2 / 2)
+        inter = (ir - il).clamp(min=0) * (ib - it).clamp(min=0)
+        cl = torch.min(cx1 - w1 / 2, cx2 - w2 / 2)
+        cr = torch.max(cx1 + w1 / 2, cx2 + w2 / 2)
+        ct = torch.min(cy1 - h1 / 2, cy2 - h2 / 2)
+        cb = torch.max(cy1 + h1 / 2, cy2 + h2 / 2)
+        idiag = (cx2 - cx1) ** 2 + (cy2 - cy1) ** 2
+        cdiag = (cr - cl).clamp(min=0) ** 2 + (cb - ct).clamp(min=0) ** 2
+        union = a1 + a2 - inter
+        iou = inter / union
+        u = idiag / cdiag
+        v = (4 / math.pi ** 2) * (torch.atan(w2 / h2) - torch.atan(w1 / h1)) ** 2
+        S = (iou > 0.5).float()
+        alpha = S * v / (1 - iou + v)
+        return 1 - torch.clamp(iou - u - alpha * v, min=-1.0, max=1.0)
+
+    def t_diou(b1, b2):
+        b1, b2 = torch.sigmoid(b1), torch.sigmoid(b2)
+        w1, h1 = torch.exp(b1[:, 2]), torch.exp(b1[:, 3])
+        w2, h2 = torch.exp(b2[:, 2]), torch.exp(b2[:, 3])
+        a1, a2 = w1 * h1, w2 * h2
+        cx1, cy1, cx2, cy2 = b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1]
+        il = torch.max(cx1 - w1 / 2, cx2 - w2 / 2)
+        ir = torch.min(cx1 + w1 / 2, cx2 + w2 / 2)
+        it = torch.max(cy1 - h1 / 2, cy2 - h2 / 2)
+        ib = torch.min(cy1 + h1 / 2, cy2 + h2 / 2)
+        inter = (ir - il).clamp(min=0) * (ib - it).clamp(min=0)
+        cl = torch.min(cx1 - w1 / 2, cx2 - w2 / 2)
+        cr = torch.max(cx1 + w1 / 2, cx2 + w2 / 2)
+        ct = torch.min(cy1 - h1 / 2, cy2 - h2 / 2)
+        cb = torch.max(cy1 + h1 / 2, cy2 + h2 / 2)
+        idiag = (cx2 - cx1) ** 2 + (cy2 - cy1) ** 2
+        cdiag = (cr - cl).clamp(min=0) ** 2 + (cb - ct).clamp(min=0) ** 2
+        union = a1 + a2 - inter
+        return 1 - torch.clamp(inter / union - idiag / cdiag, min=-1.0, max=1.0)
+
+    x = torch.randn(32, 4, generator=torch.Generator().manual_seed(0))
+    y = torch.randn(32, 4, generator=torch.Generator().manual_seed(1))
+    np.testing.assert_allclose(
+        np.asarray(ciou_loss(jnp.asarray(x.numpy()), jnp.asarray(y.numpy()))),
+        t_ciou(x, y).numpy(), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(diou_loss(jnp.asarray(x.numpy()), jnp.asarray(y.numpy()))),
+        t_diou(x, y).numpy(), rtol=1e-5, atol=1e-6,
+    )
