@@ -103,12 +103,18 @@ def main(cli):
     # multi-host: initialize the JAX distributed runtime before first device
     # use (reference util/misc.py:520-558 init_distributed_mode).  Env-gated:
     # single-host runs (and the CPU test mesh) skip it.
+    #   JAX_MULTIHOST=1            -> initialize() with auto-detection (TPU
+    #                                 pod metadata / cloud environment)
+    #   JAX_COORDINATOR_ADDRESS=.. -> explicit rendezvous (the reference's
+    #                                 env:// MASTER_ADDR path)
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
             process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
         )
+    elif os.environ.get("JAX_MULTIHOST"):
+        jax.distributed.initialize()
 
     args = SLConfig.fromfile(cli.config_file)
     if cli.options:

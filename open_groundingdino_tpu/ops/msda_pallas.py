@@ -748,6 +748,146 @@ ms_deform_attn_pallas.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# Rowtap backward: same relu-distance row-tap scheme as the forward —
+# n_rows = NL*P*2 rows instead of NL*P*4 corner taps, big sweep tiles.
+# Per (block, tile): P = V^T G once, then per row
+#   gw[r, q]  = sum_s relu(1-|px-s|) * P[s, q]        (weight grad)
+#   gpx[r, q] = sum_s -sign(px-s)[|px-s|<1] * P[s, q] (x-position grad,
+#               multiplied by w[r, q] outside the kernel)
+# and the grad_value scatter stays the S^T matmul.  The chain from (px, w)
+# to (locs, attn) is jax.vjp of _rowtap_positions_and_weights_t (floor/clip
+# subgradients match grid_sample's knot conventions up to measure-zero
+# points where px is exactly integral).
+# ---------------------------------------------------------------------------
+
+BWD_VARIANT = os.environ.get("MSDA_BWD_VARIANT", "corner")
+RT_BWD_TILE = int(os.environ.get("MSDA_RT_BWD_TILE", str(RT_TILE)))
+
+
+def _msda_rowtap_bwd_kernel(
+    ranges_ref, value_ref, px_ref, w_ref, g_ref, gv_ref, gpx_ref, gw_ref,
+    *, n_rows: int, l_pad: int,
+):
+    """Grid (BH, NQB).  gv accumulates across query blocks (sequential qb
+    axis); gpx/gw are per-block outputs.  S builds in a short SSA chain
+    (GROUP_ROWS=8 rows) — no scratch round-trip, as in the forward."""
+    D = value_ref.shape[1]
+    n_groups = -(-n_rows // GROUP_ROWS)
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
+
+    @pl.when(qb == 0)
+    def _():
+        gv_ref[0] = jnp.zeros_like(gv_ref[0])
+
+    px = px_ref[0]
+    w = w_ref[0]
+    g_q = g_ref[0].astype(jnp.float32)          # (128q, D)
+    bf16 = value_ref.dtype == jnp.bfloat16
+    g_q_mm = g_ref[0].astype(jnp.bfloat16) if bf16 else g_q
+    prec = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
+
+    srclane = jax.lax.broadcasted_iota(
+        jnp.int32, (RT_BWD_TILE, QBLOCK), 0
+    ).astype(jnp.float32)
+    gpx_ref[0] = jnp.zeros((n_rows, QBLOCK), jnp.float32)
+    gw_ref[0] = jnp.zeros((n_rows, QBLOCK), jnp.float32)
+
+    rbase = (bh * nqb + qb) * n_groups * 2
+    for gi, g0 in enumerate(range(0, n_rows, GROUP_ROWS)):
+        g1 = min(g0 + GROUP_ROWS, n_rows)
+        tmin = ranges_ref[rbase + 2 * gi] // (RT_BWD_TILE // 8)
+        tmax = ranges_ref[rbase + 2 * gi + 1] // (RT_BWD_TILE // 8)
+
+        def tile_body(tt, _, g0=g0, g1=g1):
+            src_t = value_ref[0, :, pl.ds(tt * RT_BWD_TILE, RT_BWD_TILE)]
+            tilepos = srclane + (tt * RT_BWD_TILE).astype(jnp.float32)
+
+            # P[s, q] = sum_d V[s, d] * g[q, d]
+            P = jax.lax.dot_general(
+                src_t if bf16 else src_t.astype(jnp.float32), g_q_mm,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )  # (T, 128q)
+
+            s = None
+            for t in range(g0, g1):
+                d = px[t : t + 1, :] - tilepos          # (T, 128q)
+                a = jnp.abs(d)
+                wl = jnp.maximum(1.0 - a, 0.0)
+                sw = wl * w[t : t + 1, :]
+                s = sw if s is None else s + sw
+                gw_ref[0, t : t + 1, :] = gw_ref[0, t : t + 1, :] + jnp.sum(
+                    wl * P, axis=0, keepdims=True
+                )
+                ds = jnp.where(a < 1.0, -jnp.sign(d), 0.0)
+                gpx_ref[0, t : t + 1, :] = gpx_ref[0, t : t + 1, :] + jnp.sum(
+                    ds * P, axis=0, keepdims=True
+                )
+
+            # gv[d, s] += sum_q g[q, d] * S[s, q]
+            gv_ref[0, :, pl.ds(tt * RT_BWD_TILE, RT_BWD_TILE)] = gv_ref[
+                0, :, pl.ds(tt * RT_BWD_TILE, RT_BWD_TILE)
+            ] + jax.lax.dot_general(
+                g_q_mm, s.astype(g_q_mm.dtype),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
+
+
+def _msda_rowtap_bwd_impl(value_t, px, w, g_k):
+    """value_t: (BH, D, L_pad); px/w: (BH, n_rows, Q_pad); g_k: (BH, Q_pad, D)
+    -> (grad_value_t f32, gpx (BH, n_rows, Q_pad), gw (BH, n_rows, Q_pad))."""
+    BH, D, L_pad = value_t.shape
+    _, n_rows, Q_pad = px.shape
+    nqb = Q_pad // QBLOCK
+
+    kernel = functools.partial(
+        _msda_rowtap_bwd_kernel, n_rows=n_rows, l_pad=L_pad
+    )
+    interpret = jax.devices()[0].platform != "tpu"
+    ranges = _rowtap_tile_ranges(px, w, nqb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, nqb),
+        in_specs=[
+            pl.BlockSpec((1, D, L_pad), lambda bh, qb, r: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_rows, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_rows, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QBLOCK, D), lambda bh, qb, r: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, D, L_pad), lambda bh, qb, r: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_rows, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_rows, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, D, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((BH, n_rows, Q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((BH, n_rows, Q_pad), jnp.float32),
+        ),
+    )(ranges, value_t, px, w, g_k)
+
+
+# ---------------------------------------------------------------------------
 # Transposed-layout entry: callers that produce projections directly in
 # kernel layout (models/deformable.py einsum path) skip every big transpose
 # — the (B, L, H, D) <-> (BH, D, L) value flips and (B, Q, ...) <-> (..., Q)
@@ -793,8 +933,60 @@ def _fwd_t(value_t, spatial_shapes, locs_t, attn_t):
     return out, (value_t, locs_t, attn_t)
 
 
+def _bwd_t_rowtap(spatial_shapes, residuals, g):
+    """Rowtap backward for the transposed entry: relu-distance row-taps,
+    RT_BWD_TILE sweep, analytic (gpx, gw) chained through jax.vjp of
+    _rowtap_positions_and_weights_t."""
+    value_t, locs_t, attn_t = residuals
+    BH, D, L = value_t.shape
+    Q = locs_t.shape[-1]
+
+    def rt_fn(locs_, attn_):
+        return _rowtap_positions_and_weights_t(
+            locs_.astype(jnp.float32), attn_.astype(jnp.float32),
+            spatial_shapes,
+        )
+
+    (px, w), rt_vjp = jax.vjp(rt_fn, locs_t, attn_t)
+
+    Q_pad = _round_up(Q, QBLOCK)
+    px_p, w_p = px, w
+    if Q_pad != Q:
+        px_p = jnp.pad(px_p, ((0, 0), (0, 0), (0, Q_pad - Q)))
+        w_p = jnp.pad(w_p, ((0, 0), (0, 0), (0, Q_pad - Q)))
+    L_pad = _round_up(L, RT_BWD_TILE)
+    vt = value_t
+    if L_pad != L:
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, L_pad - L)))
+    g_k = g
+    if Q_pad != Q:
+        g_k = jnp.pad(g_k, ((0, 0), (0, Q_pad - Q), (0, 0)))
+
+    sort_queries = Q != L
+    if sort_queries:
+        order = jnp.argsort(px_p[:, 0, :].astype(jnp.int32), axis=1)
+        inv = jnp.argsort(order, axis=1)
+        px_p = jnp.take_along_axis(px_p, order[:, None, :], axis=2)
+        w_p = jnp.take_along_axis(w_p, order[:, None, :], axis=2)
+        g_k = jnp.take_along_axis(g_k, order[:, :, None], axis=1)
+
+    gv_t, gpx, gw = _msda_rowtap_bwd_impl(vt, px_p, w_p, g_k)
+    if sort_queries:
+        gpx = jnp.take_along_axis(gpx, inv[:, None, :], axis=2)
+        gw = jnp.take_along_axis(gw, inv[:, None, :], axis=2)
+
+    grad_value_t = gv_t[:, :, :L].astype(value_t.dtype)
+    # the kernel returns sum_s -sign(d)[|d|<1] P; the true px grad carries
+    # the row weight factor
+    gpx_final = gpx[:, :, :Q] * w
+    grad_locs_t, grad_attn_t = rt_vjp((gpx_final, gw[:, :, :Q]))
+    return grad_value_t, grad_locs_t, grad_attn_t
+
+
 def _bwd_t(spatial_shapes, residuals, g):
     """g: (BH, Q, D) -> grads in the same transposed layouts."""
+    if BWD_VARIANT == "rowtap":
+        return _bwd_t_rowtap(spatial_shapes, residuals, g)
     value_t, locs_t, attn_t = residuals
     BH, D, L = value_t.shape
     NL, P, Q = locs_t.shape[1], locs_t.shape[2], locs_t.shape[-1]

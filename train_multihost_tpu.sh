@@ -7,6 +7,7 @@
 set -euo pipefail
 CFG=$1; DATA=$2; OUT=$3; VOCAB=$4; shift 4
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
-python -c "import jax; jax.distributed.initialize()" 2>/dev/null || true
-JAX_DISTRIBUTED_INITIALIZE=1 python main.py -c "$CFG" --datasets "$DATA" \
+# JAX_MULTIHOST=1 makes main.py call jax.distributed.initialize() in ITS
+# OWN process (auto-detecting pod metadata) before first device use.
+JAX_MULTIHOST=1 python main.py -c "$CFG" --datasets "$DATA" \
   --output_dir "$OUT" --vocab "$VOCAB" "$@"
