@@ -204,12 +204,7 @@ class BiAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, v, l, attention_mask_v=None, attention_mask_l=None):
         deterministic = self.deterministic
-        # the flash fusion kernel has no backward yet: 'auto' takes it only
-        # on the no-grad (deterministic) path; training runs the XLA
-        # formulation (which remat already recomputes)
         impl = self.fusion_impl
-        if impl == "auto" and not deterministic:
-            impl = "xla"
         vn = nn.LayerNorm(name="layer_norm_v")(v)
         ln = nn.LayerNorm(name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(

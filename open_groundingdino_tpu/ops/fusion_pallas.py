@@ -48,6 +48,8 @@ def _fused_bi_attn_kernel(
     ml_ref,      # (1, 1, Nl)       f32: 0 = live, 1 = padded text token
     ov_ref,      # (1, VBLOCK, D)   out: image-side attention output
     ol_ref,      # (1, D, Nl)       out: text-side output (D-major)
+    ml_out_ref,  # (1, 1, Nl) f32   out: final column max (bwd residual)
+    sl_out_ref,  # (1, 1, Nl) f32   out: final column exp sum (bwd residual)
     m_ref,       # (1, Nl) f32 scratch: running column max
     s_ref,       # (1, Nl) f32 scratch: running exp sum
     acc_ref,     # (D, Nl) f32 scratch: running weighted sum (D-major)
@@ -110,31 +112,17 @@ def _fused_bi_attn_kernel(
         # downstream consumer (text enhancer, decoder ca_text,
         # contrastive_embed), so their values never reach live outputs.
         ol_ref[0] = (acc_ref[:] / s_ref[:]).astype(ol_ref.dtype)
+        ml_out_ref[0] = m_ref[:]
+        sl_out_ref[0] = s_ref[:]
 
 
-def fused_bi_attention(
-    q: jnp.ndarray,       # (BH, Nv, D) image queries (already scaled)
-    k: jnp.ndarray,       # (BH, Nl, D) text keys
-    val_v: jnp.ndarray,   # (BH, Nv, D)
-    val_l: jnp.ndarray,   # (BH, Nl, D)
-    mask_v: jnp.ndarray,  # (BH, Nv) bool, True = pad
-    mask_l: jnp.ndarray,  # (BH, Nl) bool, True = pad
-):
-    """Returns (out_v (BH, Nv, D), out_l (BH, Nl, D)) — the two attention
-    outputs of reference fuse_modules.py:163-246 (pre out-projection)."""
-    BH, Nv, D = q.shape
+def _fused_fwd_impl(q, k, val_v, val_l, mv, ml):
+    """Padded-shape forward.  q/val_v (BH, Nv_pad, D); mv (BH, Nv_pad, 1)
+    f32 1=live; ml (BH, 1, Nl) f32 1=pad.
+    Returns out_v (BH, Nv_pad, D), out_l (BH, Nl, D), ml_max/sl (BH, 1, Nl)."""
+    BH, Nv_pad, D = q.shape
     Nl = k.shape[1]
-    Nv_pad = -(-Nv // VBLOCK) * VBLOCK
-    if Nv_pad != Nv:
-        pad = ((0, 0), (0, Nv_pad - Nv), (0, 0))
-        q = jnp.pad(q, pad)
-        val_v = jnp.pad(val_v, pad)
-        mask_v = jnp.pad(mask_v, ((0, 0), (0, Nv_pad - Nv)),
-                         constant_values=True)
     nvb = Nv_pad // VBLOCK
-
-    mv = (~mask_v).astype(jnp.float32).reshape(BH, Nv_pad, 1)  # 1 = live
-    ml = mask_l.astype(jnp.float32).reshape(BH, 1, Nl)         # 1 = pad
 
     interpret = jax.devices()[0].platform != "tpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -159,6 +147,10 @@ def fused_bi_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, Nl), lambda bh, vb: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nl), lambda bh, vb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nl), lambda bh, vb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((1, Nl), jnp.float32),
@@ -166,15 +158,198 @@ def fused_bi_attention(
             pltpu.VMEM((D, Nl), jnp.float32),
         ],
     )
-    out_v, out_l_t = pl.pallas_call(
+    out_v, out_l_t, ml_max, sl = pl.pallas_call(
         _fused_bi_attn_kernel,
         interpret=interpret,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((BH, Nv_pad, D), q.dtype),
             jax.ShapeDtypeStruct((BH, D, Nl), q.dtype),
+            jax.ShapeDtypeStruct((BH, 1, Nl), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, Nl), jnp.float32),
         ),
     )(q, k, val_v, val_l, mv, ml)
-    out_v = out_v[:, :Nv]
     out_l = jnp.transpose(out_l_t, (0, 2, 1))  # (BH, Nl, D)
+    return out_v, out_l, ml_max, sl
+
+
+def _fused_bwd_kernel(
+    q_ref, k_ref, vv_ref, vl_ref, mv_ref, ml_ref, mlmax_ref, sl_ref,
+    cl_ref, rv_ref, gov_ref, gol_ref,
+    gq_ref, gvv_ref, gk_ref, gvl_ref,
+):
+    """Flash backward: recompute the logits block, local row softmax,
+    column softmax from the saved (max, sum) stats, then four MXU matmuls.
+
+      dL = P_v*(G1 - rv) + P_l*(G2 - cl)
+      gq = dL @ K         gk += dL^T @ q_blk
+      gvv = P_l @ g_ol    gvl += P_v^T @ g_ov
+    """
+    nvb = pl.num_programs(1)
+    vb = pl.program_id(1)
+
+    @pl.when(vb == 0)
+    def _():
+        gk_ref[0] = jnp.zeros_like(gk_ref[0])
+        gvl_ref[0] = jnp.zeros_like(gvl_ref[0])
+
+    q = q_ref[0]
+    k = k_ref[0]
+    lmask = ml_ref[0]                  # (1, Nl) 1 = pad
+    vkeep = mv_ref[0]                  # (128, 1) 1 = live
+    g_ov = gov_ref[0].astype(jnp.float32)   # (128, D)
+    g_ol = gol_ref[0]                  # (Nl, D)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits + lmask * NEG
+
+    m_v = jnp.max(logits, axis=1, keepdims=True)
+    p_v = jnp.exp(logits - m_v)
+    P_v = p_v / jnp.sum(p_v, axis=1, keepdims=True)       # (128, Nl)
+    P_l = jnp.exp(logits - mlmax_ref[0]) * vkeep / sl_ref[0]
+
+    dt = q.dtype
+    G1 = jax.lax.dot_general(                             # (128, Nl)
+        g_ov.astype(dt), vl_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    G2 = jax.lax.dot_general(
+        vv_ref[0], g_ol.astype(dt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dL = P_v * (G1 - rv_ref[0]) + P_l * (G2 - cl_ref[0])
+
+    dL_c = dL.astype(dt)
+    gq_ref[0] = jax.lax.dot_general(                      # (128, D)
+        dL_c, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(gq_ref.dtype)
+    gvv_ref[0] = jax.lax.dot_general(                     # (128, D)
+        P_l.astype(dt), g_ol.astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(gvv_ref.dtype)
+    gk_ref[0] = gk_ref[0] + jax.lax.dot_general(          # (Nl, D)
+        dL_c, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(gk_ref.dtype)
+    gvl_ref[0] = gvl_ref[0] + jax.lax.dot_general(        # (Nl, D)
+        P_v.astype(dt), g_ov.astype(dt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(gvl_ref.dtype)
+
+
+def _fused_bwd_impl(q, k, val_v, val_l, mv, ml, ml_max, sl, out_v, out_l,
+                    g_ov, g_ol):
+    BH, Nv_pad, D = q.shape
+    Nl = k.shape[1]
+    nvb = Nv_pad // VBLOCK
+
+    # per-token correction terms (tiny, computed in XLA):
+    #   rv[v] = g_ov . out_v   (row-softmax colsum identity)
+    #   cl[l] = g_ol . out_l
+    rv = jnp.sum(
+        g_ov.astype(jnp.float32) * out_v.astype(jnp.float32), axis=-1
+    ).reshape(BH, Nv_pad, 1)
+    cl = jnp.sum(
+        g_ol.astype(jnp.float32) * out_l.astype(jnp.float32), axis=-1
+    ).reshape(BH, 1, Nl)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    whole = lambda bh, vb: (bh, 0, 0)
+    blk = lambda bh, vb: (bh, vb, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(BH, nvb),
+        in_specs=[
+            pl.BlockSpec((1, VBLOCK, D), blk, memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((1, Nl, D), whole, memory_space=pltpu.VMEM),     # k
+            pl.BlockSpec((1, VBLOCK, D), blk, memory_space=pltpu.VMEM),   # vv
+            pl.BlockSpec((1, Nl, D), whole, memory_space=pltpu.VMEM),     # vl
+            pl.BlockSpec((1, VBLOCK, 1), blk, memory_space=pltpu.VMEM),   # mv
+            pl.BlockSpec((1, 1, Nl), whole, memory_space=pltpu.VMEM),     # ml
+            pl.BlockSpec((1, 1, Nl), whole, memory_space=pltpu.VMEM),     # mlmax
+            pl.BlockSpec((1, 1, Nl), whole, memory_space=pltpu.VMEM),     # sl
+            pl.BlockSpec((1, 1, Nl), whole, memory_space=pltpu.VMEM),     # cl
+            pl.BlockSpec((1, VBLOCK, 1), blk, memory_space=pltpu.VMEM),   # rv
+            pl.BlockSpec((1, VBLOCK, D), blk, memory_space=pltpu.VMEM),   # gov
+            pl.BlockSpec((1, Nl, D), whole, memory_space=pltpu.VMEM),     # gol
+        ],
+        out_specs=(
+            pl.BlockSpec((1, VBLOCK, D), blk, memory_space=pltpu.VMEM),   # gq
+            pl.BlockSpec((1, VBLOCK, D), blk, memory_space=pltpu.VMEM),   # gvv
+            pl.BlockSpec((1, Nl, D), whole, memory_space=pltpu.VMEM),     # gk
+            pl.BlockSpec((1, Nl, D), whole, memory_space=pltpu.VMEM),     # gvl
+        ),
+    )
+    return pl.pallas_call(
+        _fused_bwd_kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Nv_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Nv_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Nl, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Nl, D), jnp.float32),
+        ),
+    )(q, k, val_v, val_l, mv, ml, ml_max, sl, cl, rv, g_ov, g_ol)
+
+
+@jax.custom_vjp
+def _fused_core(q, k, val_v, val_l, mv, ml):
+    out_v, out_l, _, _ = _fused_fwd_impl(q, k, val_v, val_l, mv, ml)
     return out_v, out_l
+
+
+def _fused_core_fwd(q, k, val_v, val_l, mv, ml):
+    out_v, out_l, ml_max, sl = _fused_fwd_impl(q, k, val_v, val_l, mv, ml)
+    return (out_v, out_l), (
+        q, k, val_v, val_l, mv, ml, ml_max, sl, out_v, out_l
+    )
+
+
+def _fused_core_bwd(res, cot):
+    q, k, val_v, val_l, mv, ml, ml_max, sl, out_v, out_l = res
+    g_ov, g_ol = cot
+    gq, gvv, gk, gvl = _fused_bwd_impl(
+        q, k, val_v, val_l, mv, ml, ml_max, sl, out_v, out_l, g_ov, g_ol
+    )
+    return (
+        gq.astype(q.dtype), gk.astype(k.dtype), gvv.astype(val_v.dtype),
+        gvl.astype(val_l.dtype), jnp.zeros_like(mv), jnp.zeros_like(ml),
+    )
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+def fused_bi_attention(
+    q: jnp.ndarray,       # (BH, Nv, D) image queries (already scaled)
+    k: jnp.ndarray,       # (BH, Nl, D) text keys
+    val_v: jnp.ndarray,   # (BH, Nv, D)
+    val_l: jnp.ndarray,   # (BH, Nl, D)
+    mask_v: jnp.ndarray,  # (BH, Nv) bool, True = pad
+    mask_l: jnp.ndarray,  # (BH, Nl) bool, True = pad
+):
+    """Returns (out_v (BH, Nv, D), out_l (BH, Nl, D)) — the two attention
+    outputs of reference fuse_modules.py:163-246 (pre out-projection).
+    Differentiable: custom flash backward (_fused_bwd_kernel)."""
+    BH, Nv, D = q.shape
+    Nv_pad = -(-Nv // VBLOCK) * VBLOCK
+    if Nv_pad != Nv:
+        pad = ((0, 0), (0, Nv_pad - Nv), (0, 0))
+        q = jnp.pad(q, pad)
+        val_v = jnp.pad(val_v, pad)
+        mask_v = jnp.pad(mask_v, ((0, 0), (0, Nv_pad - Nv)),
+                         constant_values=True)
+
+    mv = (~mask_v).astype(jnp.float32).reshape(BH, Nv_pad, 1)  # 1 = live
+    ml = mask_l.astype(jnp.float32).reshape(BH, 1, k.shape[1])  # 1 = pad
+    out_v, out_l = _fused_core(q, k, val_v, val_l, mv, ml)
+    return out_v[:, :Nv], out_l

@@ -386,3 +386,40 @@ def test_fused_bi_attention_pallas_matches_xla():
         np.asarray(out_l)[live_l], np.asarray(ref_l)[live_l],
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_fused_bi_attention_grads_match_xla():
+    """Flash backward (_fused_bwd_kernel) vs autodiff of the XLA
+    formulation: full param + input grads through BiMultiHeadAttention."""
+    from open_groundingdino_tpu.models.layers import BiMultiHeadAttention
+
+    B, Nv, Nl, v_dim, l_dim, E, H = 2, 140, 12, 16, 12, 32, 4
+    rng = np.random.RandomState(3)
+    v = jnp.asarray(rng.randn(B, Nv, v_dim), jnp.float32)
+    l = jnp.asarray(rng.randn(B, Nl, l_dim), jnp.float32)
+    mask_v = np.zeros((B, Nv), bool)
+    mask_v[1, -11:] = True
+    mask_l = np.zeros((B, Nl), bool)
+    mask_l[0, -3:] = True
+    mask_v, mask_l = jnp.asarray(mask_v), jnp.asarray(mask_l)
+
+    mod_x = BiMultiHeadAttention(v_dim, l_dim, E, H, impl="xla")
+    mod_p = BiMultiHeadAttention(v_dim, l_dim, E, H, impl="pallas")
+    params = mod_x.init(jax.random.PRNGKey(2), v, l, mask_v, mask_l)
+
+    live_l = (~mask_l)[..., None]
+
+    def loss(mod, p, v_, l_):
+        ov, ol = mod.apply(p, v_, l_, mask_v, mask_l)
+        # padded text rows diverge (documented f32 shift effect) and are
+        # key-masked downstream; exclude them from the scalar
+        return jnp.sum(ov ** 2) + jnp.sum(jnp.where(live_l, ol, 0.0) ** 2)
+
+    gx = jax.grad(lambda p, v_, l_: loss(mod_x, p, v_, l_),
+                  argnums=(0, 1, 2))(params, v, l)
+    gp = jax.grad(lambda p, v_, l_: loss(mod_p, p, v_, l_),
+                  argnums=(0, 1, 2))(params, v, l)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--compute_dtype", default="bfloat16",
                     choices=["bfloat16", "float32"],
                     help="bfloat16 matches the bench.py path")
+    ap.add_argument("--train", action="store_true",
+                    help="trace the full train step instead of the forward")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +55,59 @@ def main():
         text_self_attention_masks=np.ones((B, T, T), bool),
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+
+    if args.train:
+        from open_groundingdino_tpu.models.criterion import SetCriterion
+        from open_groundingdino_tpu.parallel.optim import make_optimizer
+        from open_groundingdino_tpu.parallel.train_state import (
+            TrainState, make_train_step,
+        )
+
+        G = int(getattr(cfg, "max_gt_boxes", 128))
+        n_real = 8
+        gt_valid = (np.arange(G)[None] < n_real).repeat(B, 0)
+        gt_boxes = np.concatenate(
+            [rng.uniform(0.2, 0.8, (B, G, 2)),
+             rng.uniform(0.05, 0.3, (B, G, 2))], -1).astype(np.float32)
+        gt_pos_maps = np.zeros((B, G, T), np.float32)
+        gt_pos_maps[:, :, 1:8] = 1.0
+        batch = {k: jnp.asarray(v) for k, v in dict(
+            inputs, gt_boxes=gt_boxes, gt_pos_maps=gt_pos_maps,
+            gt_valid=gt_valid).items()}
+        crit = SetCriterion(
+            num_queries=cfg.num_queries, cost_class=cfg.set_cost_class,
+            cost_bbox=cfg.set_cost_bbox, cost_giou=cfg.set_cost_giou,
+            cls_loss_coef=cfg.cls_loss_coef,
+            bbox_loss_coef=cfg.bbox_loss_coef,
+            giou_loss_coef=cfg.giou_loss_coef,
+            focal_alpha=cfg.focal_alpha,
+        )
+        tx = make_optimizer(
+            params["params"], lr=float(cfg.lr),
+            lr_backbone=float(cfg.lr_backbone),
+        )
+        state = TrainState.create(params["params"], tx)
+        cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+        step_fn = jax.jit(make_train_step(model, crit, compute_dtype=cdt))
+        state, m = step_fn(state, batch)
+        float(m["loss"])
+        os.makedirs(args.output_dir, exist_ok=True)
+        try:
+            with jax.profiler.trace(args.output_dir):
+                for _ in range(args.iters):
+                    state, m = step_fn(state, batch)
+                float(m["loss"])
+            print(f"train trace -> {args.output_dir}")
+        except Exception as e:
+            print(f"trace unavailable: {e}")
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, m = step_fn(state, batch)
+        float(m["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"train: {dt*1e3:.1f} ms/step ({args.batch/dt:.2f} img/s)")
+        return
+
     if args.compute_dtype == "bfloat16":
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
