@@ -1,4 +1,5 @@
 """PAVE crop pipeline + metrics tests."""
+import json
 import os
 import numpy as np
 
@@ -247,3 +248,105 @@ def test_full_frame_pipeline_perfect_predictions():
     merged = merge_crop_predictions(results, crop_boxes)
     stats = evaluate_frames([merged["boxes"]], [gt])
     assert stats["precision"] == 1.0 and stats["recall"] == 1.0
+
+
+def test_dmg_dataset(tmp_path):
+    """pave/dmg_dataset.DmgDataset: CSV manifest -> frames with
+    keypoint-derived GT boxes (reference dmg_dataset.py +
+    test_inference_new.py:494-517)."""
+    import csv
+    import json as _json
+    from PIL import Image as PILImage
+
+    from open_groundingdino_tpu.pave.dmg_dataset import (
+        DmgDataset, damage_name_to_category, get_coco_bbox,
+    )
+
+    assert get_coco_bbox([0.5, 0.5], 100, 200, "small") == [84.0, 34.0, 116.0, 66.0]
+    assert damage_name_to_category("MAJOR_DENT") == ("dent", "large")
+    assert damage_name_to_category("MINOR_SCRATCH") == ("scratch", "small")
+    assert damage_name_to_category("weird") == ("others", "small")
+
+    img = np.zeros((120, 160, 3), np.uint8)
+    PILImage.fromarray(img).save(tmp_path / "frame0.jpg")
+    rows = [
+        {"file_name": "frame0.jpg", "dmg_count": "2",
+         "dmg_kpts": _json.dumps([[0.25, 0.5], [0.75, 0.5]]),
+         # reference ordering [ymin, ymax, xmin, xmax]
+         "car_bbox": _json.dumps([10, 110, 20, 150]),
+         "dmg_names": _json.dumps(["MINOR_DENT", "MEDIUM_SCRATCH"])},
+        {"file_name": "frame0.jpg", "dmg_count": "0",
+         "dmg_kpts": "[]", "car_bbox": "[0,0,0,0]", "dmg_names": "[]"},
+    ]
+    path = tmp_path / "manifest.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+    ds = DmgDataset(str(path))
+    assert len(ds) == 1  # dmg_count == 0 dropped
+    item = ds[0]
+    assert item["image"].shape == (120, 160, 3)
+    np.testing.assert_allclose(item["car_bbox"], [20, 10, 150, 110])
+    assert item["gt_boxes"].shape == (2, 4)
+    # first kpt (0.25, 0.5) on 160x120 -> center (40, 60), small half 16
+    np.testing.assert_allclose(item["gt_boxes"][0], [24, 44, 56, 76])
+    assert item["gt_label_names"] == ["dent", "scratch"]
+
+
+def test_inference_from_csv_and_reliable_data_cli(tmp_path):
+    """tools/get_reliable_data.py agreement filter end to end; the
+    inference CSV schema matches tools/inference_from_csv.py output."""
+    import csv
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = [
+        {"input": "a.jpg", "dino_bbox": _json.dumps([10, 10, 110, 110]),
+         "swints_bbox": _json.dumps([12, 11, 112, 108])},     # agree
+        {"input": "b.jpg", "dino_bbox": _json.dumps([10, 10, 110, 110]),
+         "swints_bbox": _json.dumps([300, 300, 400, 400])},   # disagree
+        {"input": "c.jpg", "dino_bbox": "garbage",
+         "swints_bbox": _json.dumps([0, 0, 1, 1])},           # malformed
+    ]
+    path = tmp_path / "merged.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    out = tmp_path / "reliable.csv"
+    p = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "get_reliable_data.py"),
+         "--csv", str(path), "-o", str(out)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert p.returncode == 0, p.stderr
+    with open(out) as f:
+        kept = list(csv.DictReader(f))
+    assert len(kept) == 1 and kept[0]["input"] == "a.jpg"
+    assert float(kept[0]["tl_loss"]) <= 20
+
+
+def test_plot_utils(tmp_path):
+    """utils/plot_utils.plot_logs renders our JSON-lines log.txt
+    (reference util/plot_utils.py:13-80)."""
+    from open_groundingdino_tpu.utils.plot_utils import (
+        plot_logs, plot_precision_recall,
+    )
+
+    d = tmp_path / "run1"
+    d.mkdir()
+    with open(d / "log.txt", "w") as f:
+        for e in range(3):
+            f.write(json.dumps({"epoch": e, "loss": 10.0 - e,
+                                "loss_bbox": 1.0 / (e + 1), "AP": 0.1 * e})
+                    + "\n")
+    fig, axs = plot_logs([str(d)], fields=("loss", "AP"), ewm_com=1.0)
+    assert len(axs) == 2
+    fig2, ax = plot_precision_recall(
+        [("run1", [0.0, 0.5, 1.0], [1.0, 0.8, 0.3])]
+    )
+    assert ax is not None
