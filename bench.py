@@ -39,7 +39,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        B, H, W, T = 4, 800, 1216, 256
+        B, H, W, T = int(os.environ.get("BENCH_BATCH", "4")), 800, 1216, 256
         iters, warmup = 20, 3
     else:  # CPU smoke fallback so the line always prints
         B, H, W, T = 1, 256, 320, 64

@@ -96,3 +96,54 @@ def test_load_torch_checkpoint_and_predict(workspace):
 def test_preprocess_caption():
     assert preprocess_caption("Dog . Cat") == "dog . cat."
     assert preprocess_caption("dog.") == "dog."
+
+
+@pytest.mark.slow
+def test_inference_from_csv_cli(workspace, tmp_path):
+    """tools/inference_from_csv.py end to end: CSV manifest of local
+    images -> results CSV with absolute-xyxy boxes (reference
+    tools/inference_from_csv.py flow)."""
+    import csv
+    import json
+    import subprocess
+    import sys
+
+    d = workspace
+    rng = np.random.RandomState(5)
+    img_paths = []
+    for i in range(2):
+        p = tmp_path / f"im{i}.jpg"
+        Image.fromarray(
+            rng.randint(0, 255, (96, 128, 3), np.uint8)
+        ).save(p)
+        img_paths.append(str(p))
+    manifest = tmp_path / "m.csv"
+    with open(manifest, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["input"])
+        w.writeheader()
+        w.writerows([{"input": p} for p in img_paths])
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "res.csv"
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "inference_from_csv.py"),
+         "-c", str(d / "cfg_nano.py"), "-p", str(d / "ckpt.pth"),
+         "--vocab", str(d / "vocab.txt"), "--csv", str(manifest),
+         "-t", "dog . cat .", "-o", str(out),
+         "--box_threshold", "0.0", "--text_threshold", "0.01"],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    for row in rows:
+        H, W = json.loads(row["size"])
+        assert (H, W) == (96, 128)
+        bb = json.loads(row["bbox"])
+        assert len(bb) == 4
+        all_boxes = json.loads(row["all_boxes"])
+        for b in all_boxes:  # absolute xyxy (unclipped, like upstream)
+            assert np.isfinite(b).all() and b[0] <= b[2] and b[1] <= b[3]
+            assert -W <= b[0] <= 2 * W and -H <= b[1] <= 2 * H

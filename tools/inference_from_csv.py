@@ -46,6 +46,12 @@ def main():
 
     from open_groundingdino_tpu.inference import load_model, predict
 
+    def cxcywh_to_xyxy_abs(box, H, W):
+        """reference inference_from_csv.py:21-32 xywh_to_xyxy: normalized
+        cxcywh -> absolute xyxy."""
+        cx, cy, w, h = (box * np.asarray([W, H, W, H], np.float32)).tolist()
+        return [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2]
+
     model = load_model(args.config_file, args.checkpoint_path, args.vocab)
 
     with open(args.csv, newline="") as f:
@@ -70,8 +76,10 @@ def main():
             text_threshold=args.text_threshold,
         )
         W, H = image.size
-        if len(boxes):
-            top = [float(v) for v in boxes[0]]
+        xyxy = [cxcywh_to_xyxy_abs(np.asarray(b, np.float32), H, W)
+                for b in boxes]
+        if xyxy:
+            top = xyxy[0]
         else:  # reference emits a sentinel row when nothing is found
             top = [17.0, 17.0, 17.0, 17.0]
             phrases = ["-17"]
@@ -80,15 +88,14 @@ def main():
             "bbox": json.dumps(top),
             "size": json.dumps([H, W]),
             "labels": json.dumps(list(phrases)),
-            "all_boxes": json.dumps(np.asarray(boxes).tolist()),
+            "all_boxes": json.dumps(xyxy),
             "all_scores": json.dumps(np.asarray(scores).tolist()),
         })
-        if args.draw_dir and len(boxes):
+        if args.draw_dir and xyxy:
             im = image.copy()
             d = ImageDraw.Draw(im)
-            for b, ph in zip(boxes, phrases):
-                d.rectangle([b[0], b[1], b[2], b[3]], outline=(255, 0, 0),
-                            width=2)
+            for b, ph in zip(xyxy, phrases):
+                d.rectangle(b, outline=(255, 0, 0), width=2)
                 d.text((b[0], max(0, b[1] - 12)), str(ph), fill=(255, 0, 0))
             im.save(os.path.join(args.draw_dir, f"pred{i}.jpg"))
 
