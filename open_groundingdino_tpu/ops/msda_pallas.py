@@ -281,6 +281,50 @@ def _rowtap_positions_and_weights_t(locs_t, attn_t, spatial_shapes):
     return px.reshape(BH, -1, Q), w.reshape(BH, -1, Q)
 
 
+def _tile_ranges_from_locs(
+    locs_t: jnp.ndarray,            # (BH, NL, P, 2, Q) f32
+    spatial_shapes: Shapes,
+    nqb: int,
+) -> jnp.ndarray:
+    """Per-(block, level-group) [vmin, vmax] vreg ranges computed directly
+    from sampling locations — reduces (BH, P, Q) coordinate tensors instead
+    of the (BH, n_rows/taps, Q) expanded arrays (the expanded-select ranges
+    measured ~1.25 ms/encoder-layer as XLA select_reduce fusions).
+
+    Bounds are conservative: lo = start + ymin*W + xmin, hi = start +
+    ymax*W + xmax+1 is a superset of the true flat min/max (off by < W when
+    the extreme y and x occur on different taps) — the kernels just sweep a
+    few extra positions.  Out-of-image taps clip into the level like the
+    prep does, so they never widen past the level slice."""
+    BH = locs_t.shape[0]
+    Q = locs_t.shape[-1]
+    Q_pad = nqb * QBLOCK
+    parts = []
+    level_start = 0
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        pxc = locs_t[:, lvl, :, 0, :] * Wl - 0.5    # (BH, P, Q)
+        pyc = locs_t[:, lvl, :, 1, :] * Hl - 0.5
+        x0 = jnp.floor(pxc).astype(jnp.int32)
+        y0 = jnp.floor(pyc).astype(jnp.int32)
+        x_lo = jnp.min(jnp.clip(x0, 0, Wl - 1), axis=1)       # (BH, Q)
+        x_hi = jnp.max(jnp.clip(x0 + 1, 0, Wl - 1), axis=1)
+        y_lo = jnp.min(jnp.clip(y0, 0, Hl - 1), axis=1)
+        y_hi = jnp.max(jnp.clip(y0 + 1, 0, Hl - 1), axis=1)
+        if Q_pad != Q:  # padded queries must not widen the last block
+            pad = ((0, 0), (0, Q_pad - Q))
+            x_lo = jnp.pad(x_lo, pad, constant_values=Wl - 1)
+            y_lo = jnp.pad(y_lo, pad, constant_values=Hl - 1)
+            x_hi = jnp.pad(x_hi, pad)
+            y_hi = jnp.pad(y_hi, pad)
+        blk = lambda t, red: red(t.reshape(BH, nqb, QBLOCK), axis=2)
+        lo = level_start + blk(y_lo, jnp.min) * Wl + blk(x_lo, jnp.min)
+        hi = level_start + blk(y_hi, jnp.max) * Wl + blk(x_hi, jnp.max)
+        parts.append(jnp.stack([lo // 8, hi // 8], axis=-1))  # (BH, nqb, 2)
+        level_start += Hl * Wl
+    ranges = jnp.stack(parts, axis=2)                 # (BH, nqb, NL, 2)
+    return ranges.reshape(-1).astype(jnp.int32)
+
+
 def _rowtap_tile_ranges(px: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
     """Per-(block, level-group) [vmin, vmax] vreg ranges for the rowtap
     variant: a row-tap at px touches lanes floor(px) and floor(px)+1.
@@ -377,6 +421,7 @@ def _msda_pallas_fwd_rowtap_impl(
     value_t: jnp.ndarray,   # (BH, D, L_pad)
     px: jnp.ndarray,        # (BH, n_rows, Q_pad) f32
     w: jnp.ndarray,         # (BH, n_rows, Q_pad) f32
+    ranges: jnp.ndarray = None,
 ) -> jnp.ndarray:           # (BH, Q_pad, D)
     BH, D, L_pad = value_t.shape
     _, n_rows, Q_pad = px.shape
@@ -384,7 +429,8 @@ def _msda_pallas_fwd_rowtap_impl(
 
     kernel = functools.partial(_msda_rowtap_kernel, n_rows=n_rows, l_pad=L_pad)
     interpret = jax.devices()[0].platform != "tpu"
-    ranges = _rowtap_tile_ranges(px, w, nqb)
+    if ranges is None:
+        ranges = _rowtap_tile_ranges(px, w, nqb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, nqb),
@@ -642,7 +688,7 @@ def _msda_bwd_kernel(
         jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
 
 
-def _msda_pallas_bwd_impl(value_t, idx, w, g_k):
+def _msda_pallas_bwd_impl(value_t, idx, w, g_k, ranges=None):
     """value_t: (BH, D, L_pad); idx/w: (BH, taps, Q_pad); g_k: (BH, Q_pad, D)
     -> (grad_value_t f32 (BH, D, L_pad), grad_w (BH, taps, Q_pad))."""
     BH, D, L_pad = value_t.shape
@@ -651,7 +697,8 @@ def _msda_pallas_bwd_impl(value_t, idx, w, g_k):
 
     kernel = functools.partial(_msda_bwd_kernel, n_taps=n_taps, l_pad=L_pad)
     interpret = jax.devices()[0].platform != "tpu"
-    ranges = _tile_ranges(idx, w, nqb)
+    if ranges is None:
+        ranges = _tile_ranges(idx, w, nqb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, nqb),
@@ -841,7 +888,7 @@ def _msda_rowtap_bwd_kernel(
         jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
 
 
-def _msda_rowtap_bwd_impl(value_t, px, w, g_k):
+def _msda_rowtap_bwd_impl(value_t, px, w, g_k, ranges=None):
     """value_t: (BH, D, L_pad); px/w: (BH, n_rows, Q_pad); g_k: (BH, Q_pad, D)
     -> (grad_value_t f32, gpx (BH, n_rows, Q_pad), gw (BH, n_rows, Q_pad))."""
     BH, D, L_pad = value_t.shape
@@ -852,7 +899,8 @@ def _msda_rowtap_bwd_impl(value_t, px, w, g_k):
         _msda_rowtap_bwd_kernel, n_rows=n_rows, l_pad=L_pad
     )
     interpret = jax.devices()[0].platform != "tpu"
-    ranges = _rowtap_tile_ranges(px, w, nqb)
+    if ranges is None:
+        ranges = _rowtap_tile_ranges(px, w, nqb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, nqb),
@@ -916,13 +964,20 @@ def ms_deform_attn_pallas_t(
         value_t = jnp.pad(value_t, ((0, 0), (0, 0), (0, L_pad - L)))
 
     sort_queries = Q != L
+    ranges = None
     if sort_queries:
         order = jnp.argsort(idx_k[:, 0, :], axis=1)
         inv = jnp.argsort(order, axis=1)
         idx_k = jnp.take_along_axis(idx_k, order[:, None, :], axis=2)
         w_k = jnp.take_along_axis(w_k, order[:, None, :], axis=2)
+    else:
+        # encoder: cheap conservative ranges straight from the locations
+        # (the expanded-array select/reduce measured ~1.25 ms/layer)
+        ranges = _tile_ranges_from_locs(
+            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK
+        )
 
-    out = _msda_pallas_fwd_rowtap_impl(value_t, idx_k, w_k)
+    out = _msda_pallas_fwd_rowtap_impl(value_t, idx_k, w_k, ranges)
     if sort_queries:
         out = jnp.take_along_axis(out, inv[:, :, None], axis=1)
     return out[:, :Q]
@@ -1008,14 +1063,19 @@ def _bwd_t(spatial_shapes, residuals, g):
         g_k = jnp.pad(g_k, ((0, 0), (0, Q_pad - Q), (0, 0)))
 
     sort_queries = Q != L
+    ranges = None
     if sort_queries:
         order = jnp.argsort(idx_k[:, 0, :], axis=1)
         inv = jnp.argsort(order, axis=1)
         idx_k = jnp.take_along_axis(idx_k, order[:, None, :], axis=2)
         w_k = jnp.take_along_axis(w_k, order[:, None, :], axis=2)
         g_k = jnp.take_along_axis(g_k, order[:, :, None], axis=1)
+    else:
+        ranges = _tile_ranges_from_locs(
+            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK
+        )
 
-    gv_t, gw = _msda_pallas_bwd_impl(vt, idx_k, w_k, g_k)
+    gv_t, gw = _msda_pallas_bwd_impl(vt, idx_k, w_k, g_k, ranges)
     if sort_queries:
         gw = jnp.take_along_axis(gw, inv[:, None, :], axis=2)
     grad_value_t = gv_t[:, :, :L].astype(value_t.dtype)
