@@ -62,6 +62,9 @@ FWD_VARIANT = os.environ.get("MSDA_FWD_VARIANT", "rowtap")
 RT_TILE = int(os.environ.get("MSDA_TILE", "384"))
 # backward sweep tile (scratch-based S rebuild, same amortization logic)
 BWD_TILE = int(os.environ.get("MSDA_BWD_TILE", "128"))
+# sweep tile for decoder-style sorted query sets — 128 measured WORSE
+# (12.165 vs 12.80 img/s): fixed costs dominate there too
+DEC_TILE = int(os.environ.get("MSDA_DEC_TILE", "384"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -352,7 +355,7 @@ def _rowtap_tile_ranges(px: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarra
 
 def _msda_rowtap_kernel(
     ranges_ref, value_ref, px_ref, w_ref, out_ref, acc_ref,
-    *, n_rows: int, l_pad: int,
+    *, n_rows: int, l_pad: int, tile: int = None,
 ):
     """Rowtap forward. Grid: (BH, NQB).  Same sweep structure as
     _msda_kernel, but S is built from n_rows = NL*P*2 relu-distance row-taps
@@ -370,12 +373,13 @@ def _msda_rowtap_kernel(
     qb = pl.program_id(1)
     nqb = pl.num_programs(1)
 
+    tile = tile or RT_TILE
     px = px_ref[0]            # (n_rows, 128q) f32
     w = w_ref[0]
 
     # int32 iota then cast: Mosaic has no float iota on this stack
     srclane = jax.lax.broadcasted_iota(
-        jnp.int32, (RT_TILE, QBLOCK), 0
+        jnp.int32, (tile, QBLOCK), 0
     ).astype(jnp.float32)
     acc_ref[:] = jnp.zeros((QBLOCK, D), jnp.float32)
     bf16 = value_ref.dtype == jnp.bfloat16
@@ -383,12 +387,12 @@ def _msda_rowtap_kernel(
     rbase = (bh * nqb + qb) * n_groups * 2
     for gi, g0 in enumerate(range(0, n_rows, GROUP_ROWS)):
         g1 = min(g0 + GROUP_ROWS, n_rows)
-        tmin = ranges_ref[rbase + 2 * gi] // (RT_TILE // 8)
-        tmax = ranges_ref[rbase + 2 * gi + 1] // (RT_TILE // 8)
+        tmin = ranges_ref[rbase + 2 * gi] // (tile // 8)
+        tmax = ranges_ref[rbase + 2 * gi + 1] // (tile // 8)
 
         def tile_body(tt, _, g0=g0, g1=g1):
-            src_t = value_ref[0, :, pl.ds(tt * RT_TILE, RT_TILE)]
-            tilepos = srclane + (tt * RT_TILE).astype(jnp.float32)
+            src_t = value_ref[0, :, pl.ds(tt * tile, tile)]
+            tilepos = srclane + (tt * tile).astype(jnp.float32)
 
             d = px[g0 : g0 + 1, :] - tilepos            # (128, 128q)
             s = jnp.maximum(1.0 - jnp.abs(d), 0.0) * w[g0 : g0 + 1, :]
@@ -422,12 +426,14 @@ def _msda_pallas_fwd_rowtap_impl(
     px: jnp.ndarray,        # (BH, n_rows, Q_pad) f32
     w: jnp.ndarray,         # (BH, n_rows, Q_pad) f32
     ranges: jnp.ndarray = None,
+    tile: int = None,
 ) -> jnp.ndarray:           # (BH, Q_pad, D)
     BH, D, L_pad = value_t.shape
     _, n_rows, Q_pad = px.shape
     nqb = Q_pad // QBLOCK
 
-    kernel = functools.partial(_msda_rowtap_kernel, n_rows=n_rows, l_pad=L_pad)
+    kernel = functools.partial(_msda_rowtap_kernel, n_rows=n_rows,
+                               l_pad=L_pad, tile=tile or RT_TILE)
     interpret = jax.devices()[0].platform != "tpu"
     if ranges is None:
         ranges = _rowtap_tile_ranges(px, w, nqb)
@@ -959,7 +965,11 @@ def ms_deform_attn_pallas_t(
     if Q_pad != Q:
         idx_k = jnp.pad(idx_k, ((0, 0), (0, 0), (0, Q_pad - Q)))
         w_k = jnp.pad(w_k, ((0, 0), (0, 0), (0, Q_pad - Q)))
-    L_pad = _round_up(L, RT_TILE)
+    # decoder-style sorted blocks have box-scale (narrow) ranges where a
+    # wide sweep tile wastes compares and dot K; encoder strips amortize
+    # fixed costs with the wide tile
+    tile = RT_TILE if Q == L else DEC_TILE
+    L_pad = _round_up(L, tile)
     if L_pad != L:
         value_t = jnp.pad(value_t, ((0, 0), (0, 0), (0, L_pad - L)))
 
@@ -977,7 +987,7 @@ def ms_deform_attn_pallas_t(
             locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK
         )
 
-    out = _msda_pallas_fwd_rowtap_impl(value_t, idx_k, w_k, ranges)
+    out = _msda_pallas_fwd_rowtap_impl(value_t, idx_k, w_k, ranges, tile)
     if sort_queries:
         out = jnp.take_along_axis(out, inv[:, :, None], axis=1)
     return out[:, :Q]
