@@ -268,7 +268,8 @@ def main(cli):
                                      "feat_map", "input_proj")
         logger.info("frozen_weights: loaded params frozen")
     tx = make_optimizer(
-        params, lr=schedule, lr_backbone=float(args.lr_backbone),
+        params, lr=schedule, base_lr=float(args.lr),
+        lr_backbone=float(args.lr_backbone),
         lr_linear_proj_mult=float(args.lr_linear_proj_mult),
         weight_decay=float(args.weight_decay),
         clip_max_norm=float(args.clip_max_norm),

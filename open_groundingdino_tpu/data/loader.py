@@ -170,32 +170,57 @@ class DataLoader:
             else:
                 batches.append((b, self.batch_size))
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # Thread pool: num_threads workers pull batch jobs from an input
+        # queue and deposit collated batches into per-slot result boxes; the
+        # consumer yields them strictly in order.  In-flight work is bounded
+        # by prefetch + num_threads so decode/augment overlaps the device
+        # step without unbounded memory (the torch DataLoader num_workers
+        # analog, reference main.py:324-333).
+        n_workers = max(1, int(self.num_threads))
+        in_q: "queue.Queue" = queue.Queue()
+        results: Dict[int, object] = {}
+        results_lock = threading.Condition()
         stop = threading.Event()
 
         def worker():
-            try:
-                for batch_idx, n_real in batches:
-                    if stop.is_set():
-                        return
+            while not stop.is_set():
+                job = in_q.get()
+                if job is None:
+                    return
+                slot, (batch_idx, n_real) = job
+                try:
                     samples = [self.dataset[i] for i in batch_idx]
                     collated = self.collator(samples)
                     collated["n_real"] = n_real
-                    out_q.put(collated)
-            except Exception as e:  # surface loader errors to the consumer
-                out_q.put(e)
-            finally:
-                out_q.put(None)
+                    item: object = collated
+                except Exception as e:  # surface loader errors to consumer
+                    item = e
+                with results_lock:
+                    results[slot] = item
+                    results_lock.notify_all()
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(n_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        max_inflight = max(n_workers, self.prefetch + n_workers - 1)
         try:
-            while True:
-                item = out_q.get()
-                if item is None:
-                    break
+            submitted = 0
+            for want in range(len(batches)):
+                while submitted < len(batches) and submitted - want < max_inflight:
+                    in_q.put((submitted, batches[submitted]))
+                    submitted += 1
+                with results_lock:
+                    while want not in results:
+                        results_lock.wait()
+                    item = results.pop(want)
                 if isinstance(item, Exception):
                     raise item
                 yield item
         finally:
             stop.set()
+            for _ in threads:
+                in_q.put(None)

@@ -45,9 +45,15 @@ def train_one_epoch(
         if i % print_freq == 0:
             host = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
             loss = host.get("loss", 0.0)
-            if not math.isfinite(loss):
+            # the train step itself skips updates on non-finite loss/grads
+            # (train_state.py), so params are clean; the host aborts as soon
+            # as the counter is observed non-zero — within print_freq steps,
+            # with zero per-step device syncs
+            if not math.isfinite(loss) or host.get("nonfinite_count", 0) > 0:
                 (logger.error if logger else print)(
-                    f"Loss is {loss}, stopping training: {host}"
+                    f"Loss is {loss} "
+                    f"(nonfinite steps: {host.get('nonfinite_count', 0)}), "
+                    f"stopping training: {host}"
                 )
                 sys.exit(1)
             metric_logger.update(**{

@@ -230,3 +230,117 @@ def predict_with_spans(
     boxes_k = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4))
     scores_k = np.concatenate(all_scores) if all_scores else np.zeros((0,))
     return boxes_k, scores_k, all_phrases
+
+
+# ---------------------------------------------------------------------------
+# Class-based "new API" (reference groundingdino/util/inference.py:139-259):
+# Model.predict_with_caption / predict_with_classes return Detections — the
+# supervision-free equivalent of sv.Detections — plus phrases; annotate()
+# renders boxes with PIL instead of cv2/supervision.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Detections:
+    """Minimal stand-in for supervision.Detections: absolute-pixel xyxy
+    boxes, per-box confidence, optional class ids (None = unmatched, exactly
+    like the reference's phrases2classes sentinel)."""
+
+    xyxy: np.ndarray                      # (N, 4) float32, abs pixels
+    confidence: np.ndarray                # (N,) float32
+    class_id: Optional[np.ndarray] = None  # (N,) object/int, None entries ok
+
+    def __len__(self):
+        return len(self.xyxy)
+
+
+def annotate(
+    image_source: np.ndarray,
+    boxes: np.ndarray,
+    logits: np.ndarray,
+    phrases: List[str],
+) -> np.ndarray:
+    """Draw normalized-cxcywh boxes with "phrase score" labels on an RGB
+    uint8 array (reference inference.py:100-115; PIL replaces cv2 +
+    supervision, and the result stays RGB rather than flipping to BGR)."""
+    from .utils.visualizer import draw_cxcywh_norm
+
+    img = Image.fromarray(np.asarray(image_source, np.uint8))
+    out = draw_cxcywh_norm(img, np.asarray(boxes, np.float32),
+                           labels=phrases, scores=np.asarray(logits))
+    return np.asarray(out)
+
+
+class Model:
+    """Reference groundingdino/util/inference.py:124-259.
+
+    model = Model(cfg_path, ckpt_path, vocab_path)
+    detections, phrases = model.predict_with_caption(image_rgb, "cat. dog.")
+    detections = model.predict_with_classes(image_rgb, ["cat", "dog"], .35, .25)
+    """
+
+    def __init__(self, model_config_path: str, model_checkpoint_path: str,
+                 vocab_path: str):
+        self.im = load_model(model_config_path, model_checkpoint_path,
+                             vocab_path)
+
+    def predict_with_caption(
+        self,
+        image: np.ndarray,
+        caption: str,
+        box_threshold: float = 0.35,
+        text_threshold: float = 0.25,
+    ) -> Tuple[Detections, List[str]]:
+        """image: RGB uint8 HWC array (the reference takes BGR from
+        cv2.imread and converts; we take RGB directly — documented delta)."""
+        pil = Image.fromarray(np.asarray(image, np.uint8))
+        boxes, scores, phrases = predict(
+            self.im, pil, caption,
+            box_threshold=box_threshold, text_threshold=text_threshold,
+        )
+        h, w = image.shape[:2]
+        return self.post_process_result(h, w, boxes, scores), phrases
+
+    def predict_with_classes(
+        self,
+        image: np.ndarray,
+        classes: List[str],
+        box_threshold: float = 0.35,
+        text_threshold: float = 0.25,
+    ) -> Detections:
+        caption = ". ".join(classes)
+        detections, phrases = self.predict_with_caption(
+            image, caption, box_threshold, text_threshold
+        )
+        detections.class_id = self.phrases2classes(phrases, classes)
+        return detections
+
+    @staticmethod
+    def post_process_result(
+        source_h: int, source_w: int, boxes: np.ndarray, logits: np.ndarray
+    ) -> Detections:
+        """Normalized cxcywh -> absolute xyxy Detections (reference
+        inference.py:242-252)."""
+        b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        scale = np.asarray([source_w, source_h, source_w, source_h], np.float32)
+        b = b * scale
+        xyxy = np.stack(
+            [b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+             b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], axis=1,
+        )
+        return Detections(xyxy=xyxy,
+                          confidence=np.asarray(logits, np.float32))
+
+    @staticmethod
+    def phrases2classes(phrases: List[str], classes: List[str]) -> np.ndarray:
+        """First class whose name is a substring of the phrase wins; no
+        match -> None (reference inference.py:254-259 exactly)."""
+        class_ids = []
+        for phrase in phrases:
+            for class_ in classes:
+                if class_ in phrase:
+                    class_ids.append(classes.index(class_))
+                    break
+            else:
+                class_ids.append(None)
+        return np.array(class_ids)

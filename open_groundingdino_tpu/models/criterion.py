@@ -4,7 +4,9 @@ the encoder's interm outputs (reference groundingdino.py:407-639).
 
 Everything is static-shape and runs inside jit: GT are padded to max_gt with
 a validity mask, matching happens through models/matcher.hungarian_assign
-(host LSA via pure_callback), and per-layer losses are computed vectorized.
+(device-native Jonker-Volgenant solver, ops/hungarian.py; a pure_callback
+host fallback exists only for impl='callback'), and per-layer losses are
+computed vectorized.
 Loss normalizers follow the reference: boxes by the (all-reduce'd) total GT
 count, CE by the number of matched pairs — under our global-batch jit both
 are global sums, which is the single-controller equivalent of the

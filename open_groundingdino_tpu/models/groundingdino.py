@@ -121,7 +121,7 @@ class GroundingDINO(nn.Module):
         srcs = []
         for l, feat in enumerate(feats):
             x = nn.Conv(C, (1, 1), name=f"input_proj_{l}_conv")(feat)
-            x = nn.GroupNorm(num_groups=32, name=f"input_proj_{l}_gn")(x)
+            x = nn.GroupNorm(epsilon=1e-5, num_groups=32, name=f"input_proj_{l}_gn")(x)
             srcs.append(x)
         for l in range(num_backbone_outs, self.num_feature_levels):
             src_in = feats[-1] if l == num_backbone_outs else srcs[-1]
@@ -129,7 +129,7 @@ class GroundingDINO(nn.Module):
                 C, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                 name=f"input_proj_{l}_conv",
             )(src_in)
-            x = nn.GroupNorm(num_groups=32, name=f"input_proj_{l}_gn")(x)
+            x = nn.GroupNorm(epsilon=1e-5, num_groups=32, name=f"input_proj_{l}_gn")(x)
             srcs.append(x)
 
         shapes: Shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)

@@ -114,9 +114,22 @@ class WindowAttention(nn.Module):
         D = C // H
         ws = self.window_size
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, H, D)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # One fused qkv parameter (checkpoint layout) but three separate
+        # head-split einsums: materializing the single (B_, N, 3, H, D) qkv
+        # array forced a full layout copy (~1.2 ms/stage at bench shapes)
+        # before the attention matmuls — per-slice einsums let XLA fold the
+        # head split into each matmul's output layout.
+        from .deformable import _DenseParams
+
+        assert self.qkv_bias, "fused-qkv param layout assumes qkv_bias=True"
+        wqkv, bqkv = _DenseParams(C, 3 * C, name="qkv")()
+        wqkv = wqkv.astype(x.dtype).reshape(C, 3, H, D)
+        bqkv = bqkv.astype(x.dtype).reshape(3, H, D)
+
+        def proj(i):
+            return jnp.einsum("bnc,chd->bnhd", x, wqkv[:, i]) + bqkv[i]
+
+        q, k, v = proj(0), proj(1), proj(2)
 
         scale = jnp.asarray(D ** -0.5, x.dtype)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
@@ -159,7 +172,7 @@ class SwinBlock(nn.Module):
         H, W = self.H, self.W
         ws = self.window_size
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x).reshape(B, H, W, C)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(B, H, W, C)
 
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws
@@ -185,7 +198,7 @@ class SwinBlock(nn.Module):
             x = x[:, :H, :W]
         x = shortcut + x.reshape(B, L, C)
 
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = nn.Dense(int(C * self.mlp_ratio), name="fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(C, name="fc2")(h)
@@ -206,7 +219,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(B, -1, 4 * C)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * C, use_bias=False, name="reduction")(x)
 
 
@@ -227,7 +240,7 @@ class SwinTransformer(nn.Module):
         )(images)
         Wh, Ww = x.shape[1], x.shape[2]
         x = x.reshape(B, Wh * Ww, c.embed_dim)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
         outs = []
         block_cls = nn.remat(SwinBlock) if c.use_checkpoint else SwinBlock
@@ -246,7 +259,7 @@ class SwinTransformer(nn.Module):
                     name=f"layer_{i}_block_{b}",
                 )(x)
             if i in c.out_indices:
-                y = nn.LayerNorm(name=f"out_norm_{i}")(x)
+                y = nn.LayerNorm(epsilon=1e-5, name=f"out_norm_{i}")(x)
                 outs.append(y.reshape(B, Wh, Ww, dim))
             if i < len(c.depths) - 1:
                 x = PatchMerging(dim, name=f"downsample_{i}")(x, Wh, Ww)

@@ -203,11 +203,11 @@ class DeformableEncoderLayer(nn.Module):
             self.d_model, self.n_heads, self.n_levels, self.n_points,
             impl=self.msda_impl, name="self_attn",
         )(src + pos, value, reference_points, self.spatial_shapes, key_padding_mask)
-        src = nn.LayerNorm(name="norm1")(src + src2)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + src2)
         h = nn.Dense(self.d_ffn, name="linear1")(src)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
-        return nn.LayerNorm(name="norm2")(src + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + h)
 
 
 class DeformableDecoderLayer(nn.Module):
@@ -234,7 +234,7 @@ class DeformableDecoderLayer(nn.Module):
         # self attention
         q = k = tgt + query_pos
         sa = MultiHeadAttention(self.d_model, self.n_heads, name="self_attn")(q, k, tgt)
-        tgt = nn.LayerNorm(name="norm2")(tgt + sa)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + sa)
 
         # text cross attention
         if self.use_text_cross_attention:
@@ -242,7 +242,7 @@ class DeformableDecoderLayer(nn.Module):
                 tgt + query_pos, memory_text, memory_text,
                 key_padding_mask=text_attention_mask,
             )
-            tgt = nn.LayerNorm(name="catext_norm")(tgt + ca)
+            tgt = nn.LayerNorm(epsilon=1e-5, name="catext_norm")(tgt + ca)
 
         # deformable image cross attention
         ca2 = MSDeformAttn(
@@ -252,14 +252,14 @@ class DeformableDecoderLayer(nn.Module):
             tgt + query_pos, memory, reference_points, self.spatial_shapes,
             memory_key_padding_mask,
         )
-        tgt = nn.LayerNorm(name="norm1")(tgt + ca2)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + ca2)
 
         # FFN in fp32 (reference transformer.py:871 forces fp32 under AMP)
         t32 = tgt.astype(jnp.float32)
         h = nn.Dense(self.d_ffn, name="linear1")(t32)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
-        return nn.LayerNorm(name="norm3")((t32 + h)).astype(tgt.dtype)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")((t32 + h)).astype(tgt.dtype)
 
 
 class Transformer(nn.Module):
@@ -324,7 +324,7 @@ class Transformer(nn.Module):
             memory, mask_flat, shapes
         )
         output_memory = nn.Dense(C, name="enc_output")(output_memory)
-        output_memory = nn.LayerNorm(name="enc_output_norm")(output_memory)
+        output_memory = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")(output_memory)
 
         enc_logits = contrastive_embed(
             output_memory, memory_text, text_dict["text_token_mask"],
@@ -445,7 +445,7 @@ class Transformer(nn.Module):
         # shared-across-layers modules (instantiated once)
         ref_point_head = MLP(self.d_model, self.d_model, 2, name="ref_point_head")
         bbox_embed = MLP(self.d_model, 4, 3, name="bbox_embed")
-        dec_norm = nn.LayerNorm(name="dec_norm")
+        dec_norm = nn.LayerNorm(epsilon=1e-5, name="dec_norm")
 
         intermediate = []
         outputs_coord = []

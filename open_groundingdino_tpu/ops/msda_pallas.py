@@ -38,9 +38,71 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from jax.experimental.custom_partitioning import (
+    SdyShardingRule,
+    custom_partitioning,
+)
+from jax.sharding import NamedSharding, PartitionSpec
+
 from .msda import _corner_indices_and_weights, ms_deform_attn_xla
 
 Shapes = Tuple[Tuple[int, int], ...]
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning: a pallas_call is opaque to XLA's auto-SPMD — under a
+# sharded jit GSPMD would otherwise insert all-gathers and run the kernel
+# fully replicated on every device (verified on the 8-device CPU mesh).
+# Every kernel entry below is therefore wrapped in custom_partitioning
+# declaring the leading batch*head axis as the (only) shardable dimension:
+# the grid's axis 0 is BH, so each shard just runs the same kernel on its
+# local batch slice — the TPU equivalent of the reference's DDP running the
+# CUDA op on every GPU (reference main.py:259-261).
+# ---------------------------------------------------------------------------
+
+
+def _leading_axis(arg_shapes):
+    spec = tuple(arg_shapes[0].sharding.spec)
+    return spec[0] if spec else None
+
+
+def _batch_partitioned(impl_fn, n_in: int, n_out: int, factor_lists):
+    """Wrap impl_fn (all operands/results with leading BH axis) so auto-SPMD
+    shards it along that axis only.  factor_lists: per-operand then
+    per-result dim-factor tuples for the Shardy rule, e.g.
+    [("b","d","l"), ...]."""
+    f = custom_partitioning(impl_fn)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _leading_axis(arg_shapes)
+        mk = lambda: NamedSharding(mesh, PartitionSpec(b))
+        return mk() if n_out == 1 else tuple(mk() for _ in range(n_out))
+
+    def part(mesh, arg_shapes, result_shape):
+        b = _leading_axis(arg_shapes)
+        arg_sh = tuple(
+            NamedSharding(mesh, PartitionSpec(b)) for _ in range(n_in)
+        )
+        res_sh = (
+            NamedSharding(mesh, PartitionSpec(b))
+            if n_out == 1
+            else tuple(NamedSharding(mesh, PartitionSpec(b)) for _ in range(n_out))
+        )
+        return mesh, impl_fn, res_sh, arg_sh
+
+    all_factors = sorted(
+        {x for fl in factor_lists for x in fl if x != "b"}
+    )
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=part,
+        sharding_rule=SdyShardingRule(
+            tuple(tuple(fl) for fl in factor_lists[:n_in]),
+            tuple(tuple(fl) for fl in factor_lists[n_in:]),
+            need_replication_factors=tuple(all_factors),
+        ),
+    )
+    return f
 
 QBLOCK = int(os.environ.get("MSDA_QBLOCK", "128"))
 TILE = 128
@@ -65,6 +127,15 @@ BWD_TILE = int(os.environ.get("MSDA_BWD_TILE", "128"))
 # sweep tile for decoder-style sorted query sets — 128 measured WORSE
 # (12.165 vs 12.80 img/s): fixed costs dominate there too
 DEC_TILE = int(os.environ.get("MSDA_DEC_TILE", "384"))
+# query blocks per tile-iteration (forward rowtap): N blocks share one value
+# slice, one sweep loop and ONE (tile, N*128) @ (tile, D) MXU dot — the
+# per-tile-iteration fixed cost (dominated by the dot pass) amortizes over
+# N*128 queries.  Interleaved encoder ordering makes neighboring blocks
+# sweep near-identical ranges, so the union range barely widens.  S builds
+# per sub-block in short SSA chains into a scratch buffer (a single
+# (tile, N*128) SSA value would blow Mosaic's register budget — that is why
+# plain QBLOCK=256 failed at tile 384).
+NBLK = int(os.environ.get("MSDA_NBLK", "1"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -167,10 +238,11 @@ def _msda_kernel(
     out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _msda_pallas_fwd_impl(
+def _msda_pallas_fwd_call(
     value_t: jnp.ndarray,   # (BH, D, L_pad)
-    idx: jnp.ndarray,       # (BH, Q_pad, n_taps) int32
-    w: jnp.ndarray,         # (BH, Q_pad, n_taps) f32
+    idx: jnp.ndarray,       # (BH, n_taps, Q_pad) int32
+    w: jnp.ndarray,         # (BH, n_taps, Q_pad) f32
+    ranges: jnp.ndarray,    # flat int32 scalar-prefetch ranges
 ) -> jnp.ndarray:           # (BH, Q_pad, D)
     BH, D, L_pad = value_t.shape
     _, n_taps, Q_pad = idx.shape
@@ -178,7 +250,6 @@ def _msda_pallas_fwd_impl(
 
     kernel = functools.partial(_msda_kernel, n_taps=n_taps, l_pad=L_pad)
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests
-    ranges = _tile_ranges(idx, w, nqb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, nqb),
@@ -205,11 +276,32 @@ def _msda_pallas_fwd_impl(
     )(ranges, value_t, idx, w)
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd_corner_partitioned():
+    def impl(value_t, idx, w, ranges2d):
+        return _msda_pallas_fwd_call(value_t, idx, w, ranges2d.reshape(-1))
+
+    return _batch_partitioned(
+        impl, 4, 1,
+        [("b", "d", "l"), ("b", "n", "q"), ("b", "n", "q"), ("b", "r"),
+         ("b", "q", "d")],
+    )
+
+
+def _msda_pallas_fwd_impl(value_t, idx, w):
+    """(BH, D, L_pad), (BH, n_taps, Q_pad) x2 -> (BH, Q_pad, D);
+    batch-partitioned under SPMD (see _batch_partitioned)."""
+    nqb = idx.shape[-1] // QBLOCK
+    ranges2d = _tile_ranges(idx, w, nqb)
+    return _fwd_corner_partitioned()(value_t, idx, w, ranges2d)
+
+
 def _tile_ranges(idx: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
     """Per-(block, tap-group) [vmin, vmax] source ranges at VREG
     (8-position) granularity, computed vectorized in XLA and handed to the
     kernel as scalar-prefetch (the kernel derives tile bounds as v // VPT).
-    idx/w: (BH, n_taps, Q_pad) -> (BH*nqb*n_groups*2,) int32."""
+    idx/w: (BH, n_taps, Q_pad) -> (BH, nqb*n_groups*2) int32 (leading batch
+    axis so SPMD partitioning can shard the ranges with the tensors)."""
     BH, n_taps, Q_pad = idx.shape
     n_groups = -(-n_taps // GROUP)
     pad_taps = n_groups * GROUP - n_taps
@@ -227,7 +319,7 @@ def _tile_ranges(idx: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
     tmax = jnp.max(sel, axis=(2, 4)) // 8
     ranges = jnp.stack([tmin, tmax], axis=-1)          # (BH, n_groups, nqb, 2)
     ranges = jnp.transpose(ranges, (0, 2, 1, 3))       # (BH, nqb, n_groups, 2)
-    return ranges.reshape(-1).astype(jnp.int32)
+    return ranges.reshape(BH, -1).astype(jnp.int32)
 
 
 def _rowtap_positions_and_weights_t(locs_t, attn_t, spatial_shapes):
@@ -288,6 +380,7 @@ def _tile_ranges_from_locs(
     locs_t: jnp.ndarray,            # (BH, NL, P, 2, Q) f32
     spatial_shapes: Shapes,
     nqb: int,
+    qblock: int = QBLOCK,
 ) -> jnp.ndarray:
     """Per-(block, level-group) [vmin, vmax] vreg ranges computed directly
     from sampling locations — reduces (BH, P, Q) coordinate tensors instead
@@ -301,7 +394,7 @@ def _tile_ranges_from_locs(
     prep does, so they never widen past the level slice."""
     BH = locs_t.shape[0]
     Q = locs_t.shape[-1]
-    Q_pad = nqb * QBLOCK
+    Q_pad = nqb * qblock
     parts = []
     level_start = 0
     for lvl, (Hl, Wl) in enumerate(spatial_shapes):
@@ -319,19 +412,20 @@ def _tile_ranges_from_locs(
             y_lo = jnp.pad(y_lo, pad, constant_values=Hl - 1)
             x_hi = jnp.pad(x_hi, pad)
             y_hi = jnp.pad(y_hi, pad)
-        blk = lambda t, red: red(t.reshape(BH, nqb, QBLOCK), axis=2)
+        blk = lambda t, red: red(t.reshape(BH, nqb, qblock), axis=2)
         lo = level_start + blk(y_lo, jnp.min) * Wl + blk(x_lo, jnp.min)
         hi = level_start + blk(y_hi, jnp.max) * Wl + blk(x_hi, jnp.max)
         parts.append(jnp.stack([lo // 8, hi // 8], axis=-1))  # (BH, nqb, 2)
         level_start += Hl * Wl
     ranges = jnp.stack(parts, axis=2)                 # (BH, nqb, NL, 2)
-    return ranges.reshape(-1).astype(jnp.int32)
+    return ranges.reshape(BH, -1).astype(jnp.int32)
 
 
-def _rowtap_tile_ranges(px: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
+def _rowtap_tile_ranges(px: jnp.ndarray, w: jnp.ndarray, nqb: int,
+                        qblock: int = QBLOCK) -> jnp.ndarray:
     """Per-(block, level-group) [vmin, vmax] vreg ranges for the rowtap
     variant: a row-tap at px touches lanes floor(px) and floor(px)+1.
-    px/w: (BH, n_rows, Q_pad) -> (BH*nqb*n_groups*2,) int32."""
+    px/w: (BH, n_rows, Q_pad) -> (BH, nqb*n_groups*2) int32."""
     BH, n_rows, Q_pad = px.shape
     n_groups = -(-n_rows // GROUP_ROWS)
     pad = n_groups * GROUP_ROWS - n_rows
@@ -341,16 +435,16 @@ def _rowtap_tile_ranges(px: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarra
     lo = jnp.floor(px).astype(jnp.int32)
     hi = lo + 1
     live = w != 0.0
-    g_lo = lo.reshape(BH, n_groups, -1, nqb, QBLOCK)
-    g_hi = hi.reshape(BH, n_groups, -1, nqb, QBLOCK)
-    g_live = live.reshape(BH, n_groups, -1, nqb, QBLOCK)
+    g_lo = lo.reshape(BH, n_groups, -1, nqb, qblock)
+    g_hi = hi.reshape(BH, n_groups, -1, nqb, qblock)
+    g_live = live.reshape(BH, n_groups, -1, nqb, qblock)
     fill_lo = g_lo[:, :, 0:1]
     fill_hi = g_hi[:, :, 0:1]
     tmin = jnp.min(jnp.where(g_live, g_lo, fill_lo), axis=(2, 4)) // 8
     tmax = jnp.max(jnp.where(g_live, g_hi, fill_hi), axis=(2, 4)) // 8
     ranges = jnp.stack([tmin, tmax], axis=-1)
     ranges = jnp.transpose(ranges, (0, 2, 1, 3))
-    return ranges.reshape(-1).astype(jnp.int32)
+    return ranges.reshape(BH, -1).astype(jnp.int32)
 
 
 def _msda_rowtap_kernel(
@@ -421,38 +515,122 @@ def _msda_rowtap_kernel(
     out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _msda_pallas_fwd_rowtap_impl(
+def _msda_rowtap_nblk_kernel(
+    ranges_ref, value_ref, px_ref, w_ref, out_ref, s_ref, acc_ref,
+    *, n_rows: int, l_pad: int, tile: int, nblk: int,
+):
+    """Multi-block rowtap forward.  Grid: (BH, NQB/nblk).  nblk 128-query
+    blocks share one tile sweep: per tile-iteration there is ONE value
+    slice, ONE loop step and ONE (tile, nblk*128) @ (D, tile) MXU dot — the
+    per-iteration fixed cost (dominated by the dot pass) amortizes over
+    nblk*128 queries.  Each sub-block's S builds as a short SSA chain and is
+    staged through s_ref (a single (tile, nblk*128) SSA value would blow the
+    Mosaic register budget — the reason plain QBLOCK=256 never compiled).
+    Ranges are per nblk-block union; interleaved encoder ordering keeps the
+    union barely wider than a single block's range."""
+    D = value_ref.shape[1]
+    n_groups = -(-n_rows // GROUP_ROWS)
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
+    W = nblk * QBLOCK
+
+    px = px_ref[0]            # (n_rows, W) f32
+    w = w_ref[0]
+
+    srclane = jax.lax.broadcasted_iota(
+        jnp.int32, (tile, QBLOCK), 0
+    ).astype(jnp.float32)
+    acc_ref[:] = jnp.zeros((W, D), jnp.float32)
+    bf16 = value_ref.dtype == jnp.bfloat16
+
+    rbase = (bh * nqb + qb) * n_groups * 2
+    for gi, g0 in enumerate(range(0, n_rows, GROUP_ROWS)):
+        g1 = min(g0 + GROUP_ROWS, n_rows)
+        tmin = ranges_ref[rbase + 2 * gi] // (tile // 8)
+        tmax = ranges_ref[rbase + 2 * gi + 1] // (tile // 8)
+
+        def tile_body(tt, _, g0=g0, g1=g1):
+            src_t = value_ref[0, :, pl.ds(tt * tile, tile)]
+            tilepos = srclane + (tt * tile).astype(jnp.float32)
+
+            for blk in range(nblk):
+                qs = blk * QBLOCK
+                d = px[g0 : g0 + 1, qs : qs + QBLOCK] - tilepos
+                s = jnp.maximum(1.0 - jnp.abs(d), 0.0) * w[
+                    g0 : g0 + 1, qs : qs + QBLOCK
+                ]
+                for t in range(g0 + 1, g1):
+                    d = px[t : t + 1, qs : qs + QBLOCK] - tilepos
+                    s = s + jnp.maximum(1.0 - jnp.abs(d), 0.0) * w[
+                        t : t + 1, qs : qs + QBLOCK
+                    ]
+                s_ref[:, qs : qs + QBLOCK] = (
+                    s.astype(jnp.bfloat16) if bf16 else s
+                )
+
+            if bf16:
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    s_ref[:], src_t,
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    s_ref[:], src_t.astype(jnp.float32),
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+            return 0
+
+        jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
+
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _msda_pallas_fwd_rowtap_call(
     value_t: jnp.ndarray,   # (BH, D, L_pad)
     px: jnp.ndarray,        # (BH, n_rows, Q_pad) f32
     w: jnp.ndarray,         # (BH, n_rows, Q_pad) f32
-    ranges: jnp.ndarray = None,
-    tile: int = None,
+    ranges: jnp.ndarray,    # flat int32
+    tile: int,
+    nblk: int = 1,
 ) -> jnp.ndarray:           # (BH, Q_pad, D)
     BH, D, L_pad = value_t.shape
     _, n_rows, Q_pad = px.shape
-    nqb = Q_pad // QBLOCK
+    W = nblk * QBLOCK
+    nqb = Q_pad // W
 
-    kernel = functools.partial(_msda_rowtap_kernel, n_rows=n_rows,
-                               l_pad=L_pad, tile=tile or RT_TILE)
     interpret = jax.devices()[0].platform != "tpu"
-    if ranges is None:
-        ranges = _rowtap_tile_ranges(px, w, nqb)
+    if nblk == 1:
+        kernel = functools.partial(_msda_rowtap_kernel, n_rows=n_rows,
+                                   l_pad=L_pad, tile=tile)
+        scratch = [pltpu.VMEM((QBLOCK, D), jnp.float32)]
+    else:
+        kernel = functools.partial(_msda_rowtap_nblk_kernel, n_rows=n_rows,
+                                   l_pad=L_pad, tile=tile, nblk=nblk)
+        s_dtype = (jnp.bfloat16 if value_t.dtype == jnp.bfloat16
+                   else jnp.float32)
+        scratch = [
+            pltpu.VMEM((tile, W), s_dtype),
+            pltpu.VMEM((W, D), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, nqb),
         in_specs=[
             pl.BlockSpec((1, D, L_pad), lambda bh, qb, r: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_rows, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+            pl.BlockSpec((1, n_rows, W), lambda bh, qb, r: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_rows, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+            pl.BlockSpec((1, n_rows, W), lambda bh, qb, r: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, QBLOCK, D), lambda bh, qb, r: (bh, qb, 0),
+        out_specs=pl.BlockSpec((1, W, D), lambda bh, qb, r: (bh, qb, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((QBLOCK, D), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
@@ -460,6 +638,32 @@ def _msda_pallas_fwd_rowtap_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, Q_pad, D), value_t.dtype),
     )(ranges, value_t, px, w)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_rowtap_partitioned(tile: int, nblk: int = 1):
+    def impl(value_t, px, w, ranges2d):
+        return _msda_pallas_fwd_rowtap_call(
+            value_t, px, w, ranges2d.reshape(-1), tile, nblk
+        )
+
+    return _batch_partitioned(
+        impl, 4, 1,
+        [("b", "d", "l"), ("b", "n", "q"), ("b", "n", "q"), ("b", "r"),
+         ("b", "q", "d")],
+    )
+
+
+def _msda_pallas_fwd_rowtap_impl(value_t, px, w, ranges=None, tile=None,
+                                 nblk: int = 1):
+    """(BH, D, L_pad), (BH, n_rows, Q_pad) x2[, (BH, R) ranges]
+    -> (BH, Q_pad, D); batch-partitioned under SPMD."""
+    nqb = px.shape[-1] // (nblk * QBLOCK)
+    if ranges is None:
+        ranges = _rowtap_tile_ranges(px, w, nqb, nblk * QBLOCK)
+    return _fwd_rowtap_partitioned(tile or RT_TILE, nblk)(
+        value_t, px, w, ranges
+    )
 
 
 def _corner_indices_and_weights_t(locs_t, attn_t, spatial_shapes):
@@ -694,7 +898,7 @@ def _msda_bwd_kernel(
         jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
 
 
-def _msda_pallas_bwd_impl(value_t, idx, w, g_k, ranges=None):
+def _msda_pallas_bwd_call(value_t, idx, w, g_k, ranges):
     """value_t: (BH, D, L_pad); idx/w: (BH, taps, Q_pad); g_k: (BH, Q_pad, D)
     -> (grad_value_t f32 (BH, D, L_pad), grad_w (BH, taps, Q_pad))."""
     BH, D, L_pad = value_t.shape
@@ -703,8 +907,6 @@ def _msda_pallas_bwd_impl(value_t, idx, w, g_k, ranges=None):
 
     kernel = functools.partial(_msda_bwd_kernel, n_taps=n_taps, l_pad=L_pad)
     interpret = jax.devices()[0].platform != "tpu"
-    if ranges is None:
-        ranges = _tile_ranges(idx, w, nqb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, nqb),
@@ -735,6 +937,27 @@ def _msda_pallas_bwd_impl(value_t, idx, w, g_k, ranges=None):
             jax.ShapeDtypeStruct((BH, n_taps, Q_pad), jnp.float32),
         ),
     )(ranges, value_t, idx, w, g_k)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_corner_partitioned():
+    def impl(value_t, idx, w, g_k, ranges2d):
+        return _msda_pallas_bwd_call(value_t, idx, w, g_k,
+                                     ranges2d.reshape(-1))
+
+    return _batch_partitioned(
+        impl, 5, 2,
+        [("b", "d", "l"), ("b", "n", "q"), ("b", "n", "q"), ("b", "q", "d"),
+         ("b", "r"), ("b", "d", "l"), ("b", "n", "q")],
+    )
+
+
+def _msda_pallas_bwd_impl(value_t, idx, w, g_k, ranges=None):
+    """Batch-partitioned corner backward (see _batch_partitioned)."""
+    nqb = idx.shape[-1] // QBLOCK
+    if ranges is None:
+        ranges = _tile_ranges(idx, w, nqb)
+    return _bwd_corner_partitioned()(value_t, idx, w, g_k, ranges)
 
 
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
@@ -894,7 +1117,7 @@ def _msda_rowtap_bwd_kernel(
         jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
 
 
-def _msda_rowtap_bwd_impl(value_t, px, w, g_k, ranges=None):
+def _msda_rowtap_bwd_call(value_t, px, w, g_k, ranges):
     """value_t: (BH, D, L_pad); px/w: (BH, n_rows, Q_pad); g_k: (BH, Q_pad, D)
     -> (grad_value_t f32, gpx (BH, n_rows, Q_pad), gw (BH, n_rows, Q_pad))."""
     BH, D, L_pad = value_t.shape
@@ -905,8 +1128,6 @@ def _msda_rowtap_bwd_impl(value_t, px, w, g_k, ranges=None):
         _msda_rowtap_bwd_kernel, n_rows=n_rows, l_pad=L_pad
     )
     interpret = jax.devices()[0].platform != "tpu"
-    if ranges is None:
-        ranges = _rowtap_tile_ranges(px, w, nqb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, nqb),
@@ -941,6 +1162,27 @@ def _msda_rowtap_bwd_impl(value_t, px, w, g_k, ranges=None):
     )(ranges, value_t, px, w, g_k)
 
 
+@functools.lru_cache(maxsize=None)
+def _bwd_rowtap_partitioned():
+    def impl(value_t, px, w, g_k, ranges2d):
+        return _msda_rowtap_bwd_call(value_t, px, w, g_k,
+                                     ranges2d.reshape(-1))
+
+    return _batch_partitioned(
+        impl, 5, 3,
+        [("b", "d", "l"), ("b", "n", "q"), ("b", "n", "q"), ("b", "q", "d"),
+         ("b", "r"), ("b", "d", "l"), ("b", "n", "q"), ("b", "n", "q")],
+    )
+
+
+def _msda_rowtap_bwd_impl(value_t, px, w, g_k, ranges=None):
+    """Batch-partitioned rowtap backward (see _batch_partitioned)."""
+    nqb = px.shape[-1] // QBLOCK
+    if ranges is None:
+        ranges = _rowtap_tile_ranges(px, w, nqb)
+    return _bwd_rowtap_partitioned()(value_t, px, w, g_k, ranges)
+
+
 # ---------------------------------------------------------------------------
 # Transposed-layout entry: callers that produce projections directly in
 # kernel layout (models/deformable.py einsum path) skip every big transpose
@@ -961,7 +1203,8 @@ def ms_deform_attn_pallas_t(
     idx_k, w_k = _rowtap_positions_and_weights_t(
         locs_t.astype(jnp.float32), attn_t.astype(jnp.float32), spatial_shapes
     )
-    Q_pad = _round_up(Q, QBLOCK)
+    qblk = NBLK * QBLOCK
+    Q_pad = _round_up(Q, qblk)
     if Q_pad != Q:
         idx_k = jnp.pad(idx_k, ((0, 0), (0, 0), (0, Q_pad - Q)))
         w_k = jnp.pad(w_k, ((0, 0), (0, 0), (0, Q_pad - Q)))
@@ -984,10 +1227,11 @@ def ms_deform_attn_pallas_t(
         # encoder: cheap conservative ranges straight from the locations
         # (the expanded-array select/reduce measured ~1.25 ms/layer)
         ranges = _tile_ranges_from_locs(
-            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK
+            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // qblk, qblk
         )
 
-    out = _msda_pallas_fwd_rowtap_impl(value_t, idx_k, w_k, ranges, tile)
+    out = _msda_pallas_fwd_rowtap_impl(value_t, idx_k, w_k, ranges, tile,
+                                       NBLK)
     if sort_queries:
         out = jnp.take_along_axis(out, inv[:, :, None], axis=1)
     return out[:, :Q]

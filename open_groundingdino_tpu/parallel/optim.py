@@ -76,10 +76,17 @@ def make_optimizer(
     weight_decay: float = 1e-4,
     clip_max_norm: float = 0.1,
     frozen_keys: Sequence[str] = (),
+    base_lr: float = None,
 ):
     """lr may be a float or an optax schedule (applied proportionally to all
     groups).  frozen_keys: parameter-path substrings to freeze entirely
-    (reference main.py:269-290 keyword freezing)."""
+    (reference main.py:269-290 keyword freezing).
+
+    base_lr: the nominal base learning rate the schedule peaks at — required
+    when lr is a schedule, because the backbone multiplier is defined as
+    lr_backbone / base_lr (reference get_param_dicts.py:34-53), NOT relative
+    to the schedule's value at step 0 (OneCycle warms up from peak/25, so
+    deriving the mult from lr(0) would train the backbone ~25x too hot)."""
 
     def scaled(schedule_or_lr, mult):
         if callable(schedule_or_lr):
@@ -87,7 +94,15 @@ def make_optimizer(
         return schedule_or_lr * mult
 
     base_mult = 1.0
-    backbone_mult = lr_backbone / lr if not callable(lr) else lr_backbone / lr(0)
+    if callable(lr):
+        if base_lr is None:
+            raise ValueError(
+                "make_optimizer: pass base_lr (the schedule's nominal peak) "
+                "when lr is a schedule"
+            )
+        backbone_mult = lr_backbone / float(base_lr)
+    else:
+        backbone_mult = lr_backbone / lr
 
     def adamw(mult):
         return optax.adamw(

@@ -26,6 +26,12 @@ class TrainState:
     # exponential moving average of params (reference util/utils.py:373-396
     # ModelEma); None unless use_ema is configured
     ema_params: Any = None
+    # device-side count of steps whose loss/grads were non-finite; those
+    # steps skip the update entirely, so params can never absorb a NaN even
+    # though the host only inspects metrics every print_freq steps (the
+    # reference guards every iteration, engine_multi.py:544-547 — this is
+    # the sync-free equivalent)
+    nonfinite_count: jnp.ndarray = None
 
     @classmethod
     def create(cls, params, tx, use_ema: bool = False):
@@ -36,6 +42,7 @@ class TrainState:
             tx=tx,
             ema_params=jax.tree_util.tree_map(lambda x: x, params)
             if use_ema else None,
+            nonfinite_count=jnp.zeros((), jnp.int32),
         )
 
 
@@ -95,12 +102,28 @@ def make_train_step(model, criterion, compute_dtype=None,
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        from ..parallel.optim import safe_global_norm
+        grad_norm = safe_global_norm(grads)
+        # Per-step guard: a non-finite loss or gradient skips the whole
+        # update (params/opt_state/EMA keep their previous values) and bumps
+        # nonfinite_count, which the host checks at its logging cadence.
+        finite = jnp.logical_and(jnp.isfinite(total), jnp.isfinite(grad_norm))
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
         updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old)
+            if hasattr(new, "dtype") else new,
+            opt_state, state.opt_state,
+        )
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["loss"] = total
-        from ..parallel.optim import safe_global_norm
-        metrics["grad_norm"] = safe_global_norm(grads)
+        metrics["grad_norm"] = grad_norm
         ema_params = state.ema_params
         if ema_params is not None and ema_decay > 0.0:
             from ..utils.ema import ema_update
@@ -108,7 +131,10 @@ def make_train_step(model, criterion, compute_dtype=None,
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state,
             ema_params=ema_params,
+            nonfinite_count=state.nonfinite_count
+            + (1 - finite.astype(jnp.int32)),
         )
+        metrics["nonfinite_count"] = new_state.nonfinite_count
         return new_state, metrics
 
     return train_step

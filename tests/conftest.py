@@ -25,6 +25,17 @@ assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_collection_modifyitems(config, items):
+    """Pin full-model integration tests to run LAST, explicitly (not via
+    alphabetical test_zz_ naming): compiling the full-model grad program
+    corrupts jax-0.9.0's in-process executable cache for later unrelated jit
+    programs (see tests/test_zz_model_full.py docstring).  Robust under -k
+    filters and reordering plugins."""
+    last = [it for it in items if "test_zz_model_full" in str(it.fspath)]
+    rest = [it for it in items if "test_zz_model_full" not in str(it.fspath)]
+    items[:] = rest + last
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--regen-goldens", action="store_true", default=False,

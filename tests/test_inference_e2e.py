@@ -147,3 +147,47 @@ def test_inference_from_csv_cli(workspace, tmp_path):
         for b in all_boxes:  # absolute xyxy (unclipped, like upstream)
             assert np.isfinite(b).all() and b[0] <= b[2] and b[1] <= b[3]
             assert -W <= b[0] <= 2 * W and -H <= b[1] <= 2 * H
+
+
+def test_phrases2classes_and_postprocess():
+    """Pure pieces of the Model API (reference inference.py:242-259)."""
+    from open_groundingdino_tpu.inference import Model
+
+    ids = Model.phrases2classes(
+        ["a scratched door", "dent", "nothing here"],
+        ["door", "dent"],
+    )
+    assert ids[0] == 0 and ids[1] == 1 and ids[2] is None
+
+    det = Model.post_process_result(
+        100, 200, np.asarray([[0.5, 0.5, 0.2, 0.4]]), np.asarray([0.9])
+    )
+    np.testing.assert_allclose(det.xyxy[0], [80.0, 30.0, 120.0, 70.0])
+    assert det.confidence[0] == np.float32(0.9)
+    assert len(det) == 1
+
+
+def test_model_predict_with_classes(workspace):
+    """Model.predict_with_classes end to end on the nano checkpoint
+    (reference groundingdino/util/inference.py:178-223)."""
+    from open_groundingdino_tpu.inference import Model, annotate
+
+    d = workspace
+    m = Model(str(d / "cfg_nano.py"), str(d / "ckpt.pth"),
+              str(d / "vocab.txt"))
+    rng = np.random.RandomState(2)
+    image = rng.randint(0, 255, (120, 160, 3), np.uint8)
+    det = m.predict_with_classes(
+        image, ["dog", "cat"], box_threshold=0.0, text_threshold=0.01
+    )
+    assert len(det) > 0
+    assert det.xyxy.shape == (len(det), 4)
+    assert det.class_id is not None and len(det.class_id) == len(det)
+
+    det2, phrases = m.predict_with_caption(
+        image, "dog . cat .", box_threshold=0.0, text_threshold=0.01
+    )
+    assert len(det2) == len(phrases)
+    out = annotate(image, np.asarray([[0.5, 0.5, 0.2, 0.2]]),
+                   np.asarray([0.7]), ["dog"])
+    assert out.shape == image.shape and out.dtype == np.uint8

@@ -1,0 +1,144 @@
+"""Pallas MSDA kernel under SPMD sharding (round-2 VERDICT missing #2).
+
+A pallas_call is opaque to auto-SPMD: before the custom_partitioning wrap
+(ops/msda_pallas._batch_partitioned) GSPMD silently all-gathered the operands
+and ran the kernel fully replicated on every device.  These tests run the
+kernel (interpret mode on the 8-device CPU mesh) with batch-sharded inputs
+and assert (a) numeric parity with the XLA reference impl under the same
+sharding, (b) gradient parity through the custom VJP, and (c) that the
+compiled program contains NO all-gather — i.e. each device really runs the
+kernel on its local shard, the TPU analog of DDP running the CUDA op on
+every GPU (reference main.py:259-261)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from open_groundingdino_tpu.models.deformable import MSDeformAttn
+from open_groundingdino_tpu.ops.msda import ms_deform_attn_xla
+from open_groundingdino_tpu.ops.msda_pallas import ms_deform_attn_pallas_t
+from open_groundingdino_tpu.parallel.mesh import make_mesh
+
+B, H, D, NL, NP, Q = 8, 2, 8, 2, 2, 64
+SHAPES = ((8, 8), (4, 4))
+L = sum(h * w for h, w in SHAPES)
+
+
+def _inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    v_t = rng.randn(B * H, D, L).astype(np.float32)
+    locs = rng.uniform(0.05, 0.95, (B * H, NL, NP, 2, Q)).astype(np.float32)
+    attn = rng.uniform(0, 1, (B * H, NL, NP, Q)).astype(np.float32)
+    return v_t, locs, attn
+
+
+def _xla_ref(v_t, locs, attn):
+    value = jnp.transpose(v_t.reshape(B, H, D, L), (0, 3, 1, 2))
+    locs_b = jnp.transpose(locs.reshape(B, H, NL, NP, 2, Q), (0, 5, 1, 2, 3, 4))
+    attn_b = jnp.transpose(attn.reshape(B, H, NL, NP, Q), (0, 4, 1, 2, 3))
+    out = ms_deform_attn_xla(value, SHAPES, locs_b, attn_b)  # (B, Q, H*D)
+    return jnp.transpose(
+        out.reshape(B, Q, H, D), (0, 2, 1, 3)
+    ).reshape(B * H, Q, D)
+
+
+def _shard(mesh, *arrays):
+    sh = NamedSharding(mesh, P("data"))
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def test_pallas_forward_sharded_parity_no_allgather():
+    mesh = make_mesh()
+    v_t, locs, attn = _inputs()
+    v_s, l_s, a_s = _shard(mesh, v_t, locs, attn)
+
+    f = jax.jit(lambda v, l, a: ms_deform_attn_pallas_t(v, SHAPES, l, a))
+    out = f(v_s, l_s, a_s)
+    ref = _xla_ref(v_t, locs, attn)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # the kernel must run per-shard: a replicated fallback would show up as
+    # an all-gather of the operands in the compiled program
+    hlo = f.lower(v_s, l_s, a_s).compile().as_text()
+    assert "all-gather" not in hlo, "pallas kernel was replicated under SPMD"
+    assert out.sharding.spec == P("data")
+
+
+def test_pallas_grads_sharded_parity():
+    mesh = make_mesh()
+    v_t, locs, attn = _inputs(1)
+    v_s, l_s, a_s = _shard(mesh, v_t, locs, attn)
+
+    def loss_pallas(v, l, a):
+        o = ms_deform_attn_pallas_t(v, SHAPES, l, a)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(v, l, a):
+        return jnp.sum(jnp.sin(_xla_ref(v, l, a)))
+
+    gp = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))(v_s, l_s, a_s)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(
+        jnp.asarray(v_t), jnp.asarray(locs), jnp.asarray(attn)
+    )
+    for p, x, name in zip(gp, gx, ("value", "locs", "attn")):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(x), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad_{name} mismatch under sharding",
+        )
+
+
+@pytest.mark.slow
+def test_msda_module_pallas_sharded_train_grads():
+    """Full MSDeformAttn module (projections + kernel + custom VJP) with
+    impl='pallas' vs impl='xla' under the sharded mesh: same params, same
+    sharded batch, grads must agree — the unit version of a DP train step
+    running the kernel on every device."""
+    mesh = make_mesh()
+    rng = np.random.RandomState(2)
+    C = H * D
+    query = rng.randn(B, Q, C).astype(np.float32)
+    value = rng.randn(B, L, C).astype(np.float32)
+    ref_pts = rng.uniform(0.1, 0.9, (B, Q, NL, 2)).astype(np.float32)
+
+    sh = NamedSharding(mesh, P("data"))
+    q_s = jax.device_put(query, sh)
+    v_s = jax.device_put(value, sh)
+    r_s = jax.device_put(ref_pts, sh)
+
+    mods = {
+        impl: MSDeformAttn(embed_dim=C, num_heads=H, num_levels=NL,
+                           num_points=NP, impl=impl)
+        for impl in ("pallas", "xla")
+    }
+    params = mods["xla"].init(
+        jax.random.PRNGKey(0), query, value, ref_pts, SHAPES
+    )
+
+    grads = {}
+    outs = {}
+    for impl, mod in mods.items():
+        def loss(p, q, v, r, mod=mod):
+            return jnp.sum(
+                jnp.sin(mod.apply(p, q, v, r, SHAPES))
+            )
+
+        outs[impl] = jax.jit(
+            lambda p, q, v, r, mod=mod: mod.apply(p, q, v, r, SHAPES)
+        )(params, q_s, v_s, r_s)
+        grads[impl] = jax.jit(jax.grad(loss))(params, q_s, v_s, r_s)
+
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"]), np.asarray(outs["xla"]),
+        rtol=2e-4, atol=2e-4,
+    )
+    flat_p = jax.tree_util.tree_leaves_with_path(grads["pallas"])
+    flat_x = dict(
+        (jax.tree_util.keystr(kp), v)
+        for kp, v in jax.tree_util.tree_leaves_with_path(grads["xla"])
+    )
+    for kp, gv in flat_p:
+        np.testing.assert_allclose(
+            np.asarray(gv), np.asarray(flat_x[jax.tree_util.keystr(kp)]),
+            rtol=1e-3, atol=1e-3, err_msg=jax.tree_util.keystr(kp),
+        )

@@ -143,6 +143,48 @@ def test_remat_droppath_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_nonfinite_step_skips_update():
+    """Per-step device-side NaN guard (reference engine_multi.py:544-547):
+    a batch that produces a non-finite loss must leave params/opt_state
+    untouched and bump nonfinite_count; a clean batch afterwards updates."""
+    mesh = make_mesh()
+    model = _tiny_model()
+    batch = _batch(5)
+    init_batch = {
+        k: v for k, v in batch.items()
+        if k not in ("gt_boxes", "gt_pos_maps", "gt_valid")
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(5), **init_batch)["params"]
+    tx = make_optimizer(params, lr=1e-3, lr_backbone=1e-4)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, SetCriterion(num_queries=QN)))
+
+    bad = dict(batch)
+    bad["images"] = np.full_like(batch["images"], np.nan)
+    state1, metrics = step(state, shard_batch(bad, mesh))
+    assert not np.isfinite(float(metrics["loss"]))
+    assert int(metrics["nonfinite_count"]) == 1
+    np.testing.assert_array_equal(
+        np.asarray(state.params["feat_map"]["kernel"]),
+        np.asarray(state1.params["feat_map"]["kernel"]),
+    )
+    # opt_state moments untouched too — no NaN can hide there
+    for leaf in jax.tree_util.tree_leaves(state1.opt_state):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+    state2, metrics2 = step(state1, shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics2["loss"]))
+    assert int(metrics2["nonfinite_count"]) == 1  # no new bad steps
+    assert (
+        np.abs(
+            np.asarray(state2.params["feat_map"]["kernel"])
+            - np.asarray(state1.params["feat_map"]["kernel"])
+        ).max()
+        > 0
+    )
+
+
 def test_bf16_train_step():
     """Mixed-precision step: fp32 params, bf16 compute."""
     mesh = make_mesh()
