@@ -44,9 +44,25 @@ from jax.experimental.custom_partitioning import (
 )
 from jax.sharding import NamedSharding, PartitionSpec
 
+from .interleave import rowstart_dyn
 from .msda import _corner_indices_and_weights, ms_deform_attn_xla
 
 Shapes = Tuple[Tuple[int, int], ...]
+
+
+def _row_base(spatial_shapes: Shapes, lvl: int, yc: jnp.ndarray,
+              layout: str) -> jnp.ndarray:
+    """Flat position of (lvl, yc, 0) in the value array's token order.
+    'raster' = level-major (reference layout); 'interleaved' = row-band
+    interleaved (ops/interleave.py) — the encoder runs hidden states AND
+    values in that order, so a query block's taps across ALL levels form
+    one contiguous span and the kernel sweeps a single merged range."""
+    Hl, Wl = spatial_shapes[lvl]
+    yc = jnp.clip(yc, 0, Hl - 1)
+    if layout == "interleaved":
+        return rowstart_dyn(spatial_shapes, lvl, yc)
+    level_start = sum(h * w for h, w in spatial_shapes[:lvl])
+    return level_start + yc * Wl
 
 
 # ---------------------------------------------------------------------------
@@ -322,7 +338,8 @@ def _tile_ranges(idx: jnp.ndarray, w: jnp.ndarray, nqb: int) -> jnp.ndarray:
     return ranges.reshape(BH, -1).astype(jnp.int32)
 
 
-def _rowtap_positions_and_weights_t(locs_t, attn_t, spatial_shapes):
+def _rowtap_positions_and_weights_t(locs_t, attn_t, spatial_shapes,
+                                    layout: str = "raster"):
     """Row-tap expansion in kernel layout (rowtap forward variant).
 
     Each sample point becomes TWO row-taps (y0 row, y1 row) instead of four
@@ -362,7 +379,7 @@ def _rowtap_positions_and_weights_t(locs_t, attn_t, spatial_shapes):
         for yc, wy in ((y0i, 1.0 - fy), (y0i + 1, fy)):
             yv = (yc >= 0) & (yc <= Hl - 1)
             w_row = jnp.where(yv, wy * wx * a, 0.0)
-            row_base = level_start + jnp.clip(yc, 0, Hl - 1) * Wl
+            row_base = _row_base(spatial_shapes, lvl, yc, layout)
             px_parts.append(row_base.astype(jnp.float32) + px_x)  # (BH, P, Q)
             w_parts.append(w_row)
         level_start += Hl * Wl
@@ -666,7 +683,8 @@ def _msda_pallas_fwd_rowtap_impl(value_t, px, w, ranges=None, tile=None,
     )
 
 
-def _corner_indices_and_weights_t(locs_t, attn_t, spatial_shapes):
+def _corner_indices_and_weights_t(locs_t, attn_t, spatial_shapes,
+                                  layout: str = "raster"):
     """Corner expansion computed directly in kernel layout.
 
     locs_t: (BH, NL, P, 2, Q) f32; attn_t: (BH, NL, P, Q) f32.
@@ -703,8 +721,7 @@ def _corner_indices_and_weights_t(locs_t, attn_t, spatial_shapes):
             )
             w_c.append(jnp.where(valid, cw[c] * a, 0.0))
             idx_c.append(
-                level_start
-                + jnp.clip(ys[c], 0, Hl - 1) * Wl
+                _row_base(spatial_shapes, lvl, ys[c], layout)
                 + jnp.clip(xs[c], 0, Wl - 1)
             )
         # (BH, P, 4, Q)
