@@ -57,12 +57,27 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+def resolve_msda_impl(impl: str) -> str:
+    """'auto' -> 'pallas' on TPU else 'xla' (single resolution point so the
+    transformer's value-layout choice always matches the kernel choice)."""
+    if impl != "auto":
+        return impl
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 class MSDeformAttn(nn.Module):
     embed_dim: int = 256
     num_heads: int = 8
     num_levels: int = 4
     num_points: int = 4
     impl: str = "auto"  # ops/msda dispatch
+    # 'interleaved': the value tokens arrive in ops/interleave row-band
+    # order (encoder path) — tap positions are remapped in closed form and
+    # the kernel sweeps one merged range per query block
+    value_layout: str = "raster"
 
     @nn.compact
     def __call__(
@@ -79,17 +94,15 @@ class MSDeformAttn(nn.Module):
         D = C // H
         assert sum(h * w for h, w in spatial_shapes) == L
 
-        impl = self.impl
-        if impl == "auto":
-            try:
-                impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-            except Exception:
-                impl = "xla"
+        impl = resolve_msda_impl(self.impl)
         if impl == "pallas":
             return self._transposed_path(
                 query, value, reference_points, spatial_shapes,
                 key_padding_mask, B, Q, C, L, H, NL, P, D,
             )
+        assert self.value_layout == "raster", (
+            "interleaved value layout requires the pallas impl"
+        )
 
         v = nn.Dense(C, name="value_proj")(value)
         if key_padding_mask is not None:
@@ -188,7 +201,7 @@ class MSDeformAttn(nn.Module):
         locs_t = locs_t.reshape(B * H, NL, P, 2, Q)
 
         out = ms_deform_attn_pallas_t(
-            v_t, spatial_shapes, locs_t, attn_t
+            v_t, spatial_shapes, locs_t, attn_t, self.value_layout
         )  # (BH, Q, D)
         k, b = _DenseParams(C, C, name="output_proj")()
         out4 = out.reshape(B, H, Q, D)

@@ -160,26 +160,22 @@ def two_stage_select(
 
 def _interleaved_query_order(spatial_shapes: Shapes) -> np.ndarray:
     """Static spatially-interleaved order for the concatenated multi-level
-    encoder token sequence: all levels' tokens sorted together by normalized
-    (y, x) center.
+    encoder token sequence: all levels' ROWS sorted together by normalized
+    y-center, each row contiguous (ops/interleave.row_band_layout).
 
     Level-major order (the reference's flatten(2) concat) makes each
     128-query kernel block of a *coarse* level span the whole image, so its
     deformable-attention taps into the fine levels sweep the entire fine
     value map.  Interleaving dilutes coarse tokens among the fine raster:
     every block becomes a thin horizontal strip of the image across all
-    levels and its per-level tap ranges stay narrow (measured ~10-19% fewer
-    swept source tiles, distribution-dependent).  The permutation is a
-    trace-time constant — queries of deformable attention are independent,
-    so results are exact up to reordering."""
-    ky, kx = [], []
-    for (hl, wl) in spatial_shapes:
-        yy, xx = np.meshgrid(np.arange(hl), np.arange(wl), indexing="ij")
-        ky.append((yy.reshape(-1) + 0.5) / hl)
-        kx.append((xx.reshape(-1) + 0.5) / wl)
-    return np.lexsort(
-        (np.concatenate(kx), np.concatenate(ky))
-    ).astype(np.int32)
+    levels.  With the VALUE also stored in this order the strip's taps form
+    one contiguous span, so the kernel sweeps a single merged range and
+    tap positions have a closed form (no device gathers).  The permutation
+    is a trace-time constant — queries of deformable attention are
+    independent, so results are exact up to reordering."""
+    from ..ops.interleave import row_band_layout
+
+    return row_band_layout(spatial_shapes)[0]
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -190,18 +186,21 @@ class DeformableEncoderLayer(nn.Module):
     n_points: int
     msda_impl: str = "auto"
     spatial_shapes: Shapes = ()
+    msda_value_layout: str = "raster"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, key_padding_mask, value=None):
-        """value: tokens in level-major raster order for the deformable
-        value path; defaults to src.  When the encoder runs in interleaved
-        query order (see _interleaved_query_order), src/pos/reference_points
-        are permuted while value/key_padding_mask stay raster."""
+        """value: deformable value tokens; defaults to src.  When the
+        encoder runs in interleaved order (see _interleaved_query_order),
+        src/pos/reference_points/key_padding_mask AND value are all in that
+        order and msda_value_layout='interleaved' makes the kernel remap
+        tap positions in closed form (single merged sweep range)."""
         if value is None:
             value = src
         src2 = MSDeformAttn(
             self.d_model, self.n_heads, self.n_levels, self.n_points,
-            impl=self.msda_impl, name="self_attn",
+            impl=self.msda_impl, value_layout=self.msda_value_layout,
+            name="self_attn",
         )(src + pos, value, reference_points, self.spatial_shapes, key_padding_mask)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + src2)
         h = nn.Dense(self.d_ffn, name="linear1")(src)
@@ -376,11 +375,24 @@ class Transformer(nn.Module):
             else DeformableEncoderLayer
         )
 
-        # run the encoder in spatially-interleaved query order so every
+        # run the encoder in spatially-interleaved QUERY order so every
         # Pallas kernel block is image-local across levels (exact — a pure
         # static reordering of independent queries; unpermuted before
-        # returning).  The deformable *value* path stays level-major raster.
-        use_perm = self.msda_impl != "xla" and len(shapes) > 1
+        # returning).  The deformable *value* stays level-major raster:
+        # storing the value interleaved too (MSDA_VALUE_LAYOUT=interleaved,
+        # merged single-range sweep) measured 4.6 vs 14.3 img/s — a coarse
+        # level's rows sit ~#levels x W1 apart in interleaved order, so its
+        # +-k-row tap spread explodes the merged range (BENCH_NOTES r3).
+        import os as _os
+
+        from .deformable import resolve_msda_impl
+
+        impl_resolved = resolve_msda_impl(self.msda_impl)
+        use_perm = impl_resolved != "xla" and len(shapes) > 1
+        use_ilv = (
+            use_perm
+            and _os.environ.get("MSDA_VALUE_LAYOUT", "raster") == "interleaved"
+        )
         if use_perm:
             perm_np = _interleaved_query_order(shapes)
             perm = jnp.asarray(perm_np)
@@ -413,13 +425,20 @@ class Transformer(nn.Module):
                     text_dict["text_self_attention_masks"],
                     text_dict["position_ids"],
                 )
-            value = take(output, inv) if use_perm else None
+            value = None if use_ilv else (
+                take(output, inv) if use_perm else None
+            )
             output = enc_cls(
                 d_model=self.d_model, d_ffn=self.dim_feedforward,
                 n_levels=self.num_feature_levels, n_heads=self.nhead,
-                n_points=self.enc_n_points, msda_impl=self.msda_impl,
-                spatial_shapes=shapes, name=f"enc_layer_{i}",
-            )(output, pos, reference_points, key_padding_mask, value)
+                n_points=self.enc_n_points, msda_impl=impl_resolved,
+                spatial_shapes=shapes,
+                msda_value_layout="interleaved" if use_ilv else "raster",
+                name=f"enc_layer_{i}",
+            )(
+                output, pos, reference_points,
+                kpm_q if use_ilv else key_padding_mask, value,
+            )
         if use_perm:
             output = take(output, inv)
         return output, memory_text

@@ -152,6 +152,9 @@ DEC_TILE = int(os.environ.get("MSDA_DEC_TILE", "384"))
 # (tile, N*128) SSA value would blow Mosaic's register budget — that is why
 # plain QBLOCK=256 failed at tile 384).
 NBLK = int(os.environ.get("MSDA_NBLK", "1"))
+# decoder fwd: process all query blocks of one (b, h) in ONE grid step
+# (amortizes per-grid-step fixed costs over Q=900's 8 blocks) — A/B knob
+DEC_FUSED = int(os.environ.get("MSDA_DEC_FUSED", "0"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -398,6 +401,7 @@ def _tile_ranges_from_locs(
     spatial_shapes: Shapes,
     nqb: int,
     qblock: int = QBLOCK,
+    layout: str = "raster",
 ) -> jnp.ndarray:
     """Per-(block, level-group) [vmin, vmax] vreg ranges computed directly
     from sampling locations — reduces (BH, P, Q) coordinate tensors instead
@@ -430,11 +434,19 @@ def _tile_ranges_from_locs(
             x_hi = jnp.pad(x_hi, pad)
             y_hi = jnp.pad(y_hi, pad)
         blk = lambda t, red: red(t.reshape(BH, nqb, qblock), axis=2)
-        lo = level_start + blk(y_lo, jnp.min) * Wl + blk(x_lo, jnp.min)
-        hi = level_start + blk(y_hi, jnp.max) * Wl + blk(x_hi, jnp.max)
+        # block-reduce row indices first (rowstart is monotone in y), then
+        # map to flat positions in the requested token layout
+        y_lo_b, y_hi_b = blk(y_lo, jnp.min), blk(y_hi, jnp.max)
+        lo = _row_base(spatial_shapes, lvl, y_lo_b, layout) + blk(x_lo, jnp.min)
+        hi = _row_base(spatial_shapes, lvl, y_hi_b, layout) + blk(x_hi, jnp.max)
         parts.append(jnp.stack([lo // 8, hi // 8], axis=-1))  # (BH, nqb, 2)
         level_start += Hl * Wl
     ranges = jnp.stack(parts, axis=2)                 # (BH, nqb, NL, 2)
+    if layout == "interleaved":
+        # merged single-range sweep: one contiguous span covers all levels
+        lo = jnp.min(ranges[..., 0], axis=2)          # (BH, nqb)
+        hi = jnp.max(ranges[..., 1], axis=2)
+        ranges = jnp.stack([lo, hi], axis=-1)         # (BH, nqb, 2)
     return ranges.reshape(BH, -1).astype(jnp.int32)
 
 
@@ -466,7 +478,7 @@ def _rowtap_tile_ranges(px: jnp.ndarray, w: jnp.ndarray, nqb: int,
 
 def _msda_rowtap_kernel(
     ranges_ref, value_ref, px_ref, w_ref, out_ref, acc_ref,
-    *, n_rows: int, l_pad: int, tile: int = None,
+    *, n_rows: int, l_pad: int, tile: int = None, group_rows: int = None,
 ):
     """Rowtap forward. Grid: (BH, NQB).  Same sweep structure as
     _msda_kernel, but S is built from n_rows = NL*P*2 relu-distance row-taps
@@ -477,9 +489,16 @@ def _msda_rowtap_kernel(
     (measured: corner->rowtap S-build halving left kernel time unchanged).
     With only GROUP_ROWS=8 rows per group, S fits a short SSA chain — no
     scratch zero/accumulate round-trip per tile iteration.
-    px_ref/w_ref: (1, n_rows, QBLOCK) f32."""
+    px_ref/w_ref: (1, n_rows, QBLOCK) f32.
+
+    group_rows: rows per sweep group.  Default GROUP_ROWS (= one level's
+    2*P row-taps, per-level ranges, raster layout); the interleaved layout
+    passes n_rows so ALL levels' taps ride ONE merged range — a sequential
+    S accumulation chain keeps only ~2 live (tile, 128) values, so the
+    longer unroll does not spill."""
     D = value_ref.shape[1]
-    n_groups = -(-n_rows // GROUP_ROWS)
+    group_rows = group_rows or GROUP_ROWS
+    n_groups = -(-n_rows // group_rows)
     bh = pl.program_id(0)
     qb = pl.program_id(1)
     nqb = pl.num_programs(1)
@@ -496,8 +515,8 @@ def _msda_rowtap_kernel(
     bf16 = value_ref.dtype == jnp.bfloat16
 
     rbase = (bh * nqb + qb) * n_groups * 2
-    for gi, g0 in enumerate(range(0, n_rows, GROUP_ROWS)):
-        g1 = min(g0 + GROUP_ROWS, n_rows)
+    for gi, g0 in enumerate(range(0, n_rows, group_rows)):
+        g1 = min(g0 + group_rows, n_rows)
         tmin = ranges_ref[rbase + 2 * gi] // (tile // 8)
         tmax = ranges_ref[rbase + 2 * gi + 1] // (tile // 8)
 
@@ -607,6 +626,114 @@ def _msda_rowtap_nblk_kernel(
     out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _msda_rowtap_allq_kernel(
+    ranges_ref, value_ref, px_ref, w_ref, out_ref, acc_ref,
+    *, n_rows: int, l_pad: int, tile: int, nqb: int,
+):
+    """Decoder-style variant: grid (BH,) only — ALL nqb query blocks of one
+    (b, h) are processed inside one kernel invocation (static python loop).
+    With Q=900 the (BH, nqb) grid spends more time on per-grid-step fixed
+    costs (scalar reads, accumulator init, output DMA turnaround) than on
+    the sweeps themselves; folding the block loop into the kernel amortizes
+    them 8x.  Same math as _msda_rowtap_kernel."""
+    D = value_ref.shape[1]
+    n_groups = -(-n_rows // GROUP_ROWS)
+    bh = pl.program_id(0)
+
+    srclane = jax.lax.broadcasted_iota(
+        jnp.int32, (tile, QBLOCK), 0
+    ).astype(jnp.float32)
+    bf16 = value_ref.dtype == jnp.bfloat16
+
+    for qb in range(nqb):
+        qs = qb * QBLOCK
+        px = px_ref[0, :, qs : qs + QBLOCK]
+        w = w_ref[0, :, qs : qs + QBLOCK]
+        acc_ref[:] = jnp.zeros((QBLOCK, D), jnp.float32)
+
+        rbase = (bh * nqb + qb) * n_groups * 2
+        for gi, g0 in enumerate(range(0, n_rows, GROUP_ROWS)):
+            g1 = min(g0 + GROUP_ROWS, n_rows)
+            tmin = ranges_ref[rbase + 2 * gi] // (tile // 8)
+            tmax = ranges_ref[rbase + 2 * gi + 1] // (tile // 8)
+
+            def tile_body(tt, _, g0=g0, g1=g1, px=px, w=w):
+                src_t = value_ref[0, :, pl.ds(tt * tile, tile)]
+                tilepos = srclane + (tt * tile).astype(jnp.float32)
+                d = px[g0 : g0 + 1, :] - tilepos
+                s = jnp.maximum(1.0 - jnp.abs(d), 0.0) * w[g0 : g0 + 1, :]
+                for t in range(g0 + 1, g1):
+                    d = px[t : t + 1, :] - tilepos
+                    s = s + jnp.maximum(1.0 - jnp.abs(d), 0.0) * w[t : t + 1, :]
+                if bf16:
+                    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                        s.astype(jnp.bfloat16), src_t,
+                        dimension_numbers=(((0,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                        s, src_t.astype(jnp.float32),
+                        dimension_numbers=(((0,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )
+                return 0
+
+            jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
+
+        out_ref[0, qs : qs + QBLOCK, :] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _msda_pallas_fwd_rowtap_allq_call(value_t, px, w, ranges, tile):
+    """Single-grid-step-per-(b,h) decoder forward (see allq kernel)."""
+    BH, D, L_pad = value_t.shape
+    _, n_rows, Q_pad = px.shape
+    nqb = Q_pad // QBLOCK
+
+    kernel = functools.partial(
+        _msda_rowtap_allq_kernel, n_rows=n_rows, l_pad=L_pad, tile=tile,
+        nqb=nqb,
+    )
+    interpret = jax.devices()[0].platform != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec((1, D, L_pad), lambda bh, r: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_rows, Q_pad), lambda bh, r: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_rows, Q_pad), lambda bh, r: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q_pad, D), lambda bh, r: (bh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((QBLOCK, D), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, Q_pad, D), value_t.dtype),
+    )(ranges, value_t, px, w)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_rowtap_allq_partitioned(tile: int):
+    def impl(value_t, px, w, ranges2d):
+        return _msda_pallas_fwd_rowtap_allq_call(
+            value_t, px, w, ranges2d.reshape(-1), tile
+        )
+
+    return _batch_partitioned(
+        impl, 4, 1,
+        [("b", "d", "l"), ("b", "n", "q"), ("b", "n", "q"), ("b", "r"),
+         ("b", "q", "d")],
+    )
+
+
 def _msda_pallas_fwd_rowtap_call(
     value_t: jnp.ndarray,   # (BH, D, L_pad)
     px: jnp.ndarray,        # (BH, n_rows, Q_pad) f32
@@ -614,6 +741,7 @@ def _msda_pallas_fwd_rowtap_call(
     ranges: jnp.ndarray,    # flat int32
     tile: int,
     nblk: int = 1,
+    group_rows: int = None,
 ) -> jnp.ndarray:           # (BH, Q_pad, D)
     BH, D, L_pad = value_t.shape
     _, n_rows, Q_pad = px.shape
@@ -623,7 +751,8 @@ def _msda_pallas_fwd_rowtap_call(
     interpret = jax.devices()[0].platform != "tpu"
     if nblk == 1:
         kernel = functools.partial(_msda_rowtap_kernel, n_rows=n_rows,
-                                   l_pad=L_pad, tile=tile)
+                                   l_pad=L_pad, tile=tile,
+                                   group_rows=group_rows)
         scratch = [pltpu.VMEM((QBLOCK, D), jnp.float32)]
     else:
         kernel = functools.partial(_msda_rowtap_nblk_kernel, n_rows=n_rows,
@@ -658,10 +787,10 @@ def _msda_pallas_fwd_rowtap_call(
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_rowtap_partitioned(tile: int, nblk: int = 1):
+def _fwd_rowtap_partitioned(tile: int, nblk: int = 1, group_rows: int = None):
     def impl(value_t, px, w, ranges2d):
         return _msda_pallas_fwd_rowtap_call(
-            value_t, px, w, ranges2d.reshape(-1), tile, nblk
+            value_t, px, w, ranges2d.reshape(-1), tile, nblk, group_rows
         )
 
     return _batch_partitioned(
@@ -672,13 +801,13 @@ def _fwd_rowtap_partitioned(tile: int, nblk: int = 1):
 
 
 def _msda_pallas_fwd_rowtap_impl(value_t, px, w, ranges=None, tile=None,
-                                 nblk: int = 1):
+                                 nblk: int = 1, group_rows: int = None):
     """(BH, D, L_pad), (BH, n_rows, Q_pad) x2[, (BH, R) ranges]
     -> (BH, Q_pad, D); batch-partitioned under SPMD."""
     nqb = px.shape[-1] // (nblk * QBLOCK)
     if ranges is None:
         ranges = _rowtap_tile_ranges(px, w, nqb, nblk * QBLOCK)
-    return _fwd_rowtap_partitioned(tile or RT_TILE, nblk)(
+    return _fwd_rowtap_partitioned(tile or RT_TILE, nblk, group_rows)(
         value_t, px, w, ranges
     )
 
@@ -820,7 +949,7 @@ def ms_deform_attn_pallas(
 
 def _msda_bwd_kernel(
     ranges_ref, value_ref, idx_ref, w_ref, g_ref, gv_ref, gw_ref, s_ref,
-    *, n_taps: int, l_pad: int,
+    *, n_taps: int, l_pad: int, group: int = None,
 ):
     """Backward pass.  Grid: (BH, NQB), same sweep structure as forward.
 
@@ -839,9 +968,14 @@ def _msda_bwd_kernel(
 
     gv_ref: (1, D, L_pad) f32 out — grad wrt transposed value
     gw_ref: (1, n_taps, QBLOCK) f32 out — grad wrt combined tap weights
+    group: taps per sweep group (default GROUP = one level's 16 corner
+    taps; the interleaved layout passes n_taps for ONE merged range —
+    the existing CH=8 chunked scratch accumulation bounds register
+    pressure regardless of group size).
     """
     D = value_ref.shape[1]
-    n_groups = -(-n_taps // GROUP)
+    group = group or GROUP
+    n_groups = -(-n_taps // group)
     bh = pl.program_id(0)
     qb = pl.program_id(1)
     nqb = pl.num_programs(1)
@@ -864,8 +998,8 @@ def _msda_bwd_kernel(
     gw_ref[0] = jnp.zeros((n_taps, QBLOCK), jnp.float32)
 
     rbase = (bh * nqb + qb) * n_groups * 2
-    for gi, g0 in enumerate(range(0, n_taps, GROUP)):
-        g1 = min(g0 + GROUP, n_taps)
+    for gi, g0 in enumerate(range(0, n_taps, group)):
+        g1 = min(g0 + group, n_taps)
         # ranges are vreg-granular (see _tile_ranges); tile bounds mirror the
         # forward's vmin-vreg derivation
         tmin = ranges_ref[rbase + 2 * gi] // (BWD_TILE // 8)
@@ -915,14 +1049,15 @@ def _msda_bwd_kernel(
         jax.lax.fori_loop(tmin, tmax + 1, tile_body, 0)
 
 
-def _msda_pallas_bwd_call(value_t, idx, w, g_k, ranges):
+def _msda_pallas_bwd_call(value_t, idx, w, g_k, ranges, group=None):
     """value_t: (BH, D, L_pad); idx/w: (BH, taps, Q_pad); g_k: (BH, Q_pad, D)
     -> (grad_value_t f32 (BH, D, L_pad), grad_w (BH, taps, Q_pad))."""
     BH, D, L_pad = value_t.shape
     _, n_taps, Q_pad = idx.shape
     nqb = Q_pad // QBLOCK
 
-    kernel = functools.partial(_msda_bwd_kernel, n_taps=n_taps, l_pad=L_pad)
+    kernel = functools.partial(_msda_bwd_kernel, n_taps=n_taps, l_pad=L_pad,
+                               group=group)
     interpret = jax.devices()[0].platform != "tpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -957,10 +1092,10 @@ def _msda_pallas_bwd_call(value_t, idx, w, g_k, ranges):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_corner_partitioned():
+def _bwd_corner_partitioned(group: int = None):
     def impl(value_t, idx, w, g_k, ranges2d):
         return _msda_pallas_bwd_call(value_t, idx, w, g_k,
-                                     ranges2d.reshape(-1))
+                                     ranges2d.reshape(-1), group)
 
     return _batch_partitioned(
         impl, 5, 2,
@@ -969,12 +1104,12 @@ def _bwd_corner_partitioned():
     )
 
 
-def _msda_pallas_bwd_impl(value_t, idx, w, g_k, ranges=None):
+def _msda_pallas_bwd_impl(value_t, idx, w, g_k, ranges=None, group=None):
     """Batch-partitioned corner backward (see _batch_partitioned)."""
     nqb = idx.shape[-1] // QBLOCK
     if ranges is None:
         ranges = _tile_ranges(idx, w, nqb)
-    return _bwd_corner_partitioned()(value_t, idx, w, g_k, ranges)
+    return _bwd_corner_partitioned(group)(value_t, idx, w, g_k, ranges)
 
 
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
@@ -1208,18 +1343,29 @@ def _msda_rowtap_bwd_impl(value_t, px, w, g_k, ranges=None):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def ms_deform_attn_pallas_t(
     value_t: jnp.ndarray,   # (BH, D, L)
     spatial_shapes: Shapes,
     locs_t: jnp.ndarray,    # (BH, NL, P, 2, Q) f32
     attn_t: jnp.ndarray,    # (BH, NL, P, Q) f32
+    layout: str = "raster",
 ) -> jnp.ndarray:           # (BH, Q, D)
+    """layout='interleaved': value_t's token axis is in the row-band
+    interleaved order (ops/interleave.py) — the encoder keeps hidden states
+    AND values in that order, each query block's taps across all levels
+    form one contiguous span, and the kernel sweeps ONE merged range
+    instead of one per level."""
     BH, D, L = value_t.shape
     Q = locs_t.shape[-1]
+    interleaved = layout == "interleaved"
+    if interleaved:
+        assert Q == L, "interleaved layout is encoder-only (Q == L)"
     idx_k, w_k = _rowtap_positions_and_weights_t(
-        locs_t.astype(jnp.float32), attn_t.astype(jnp.float32), spatial_shapes
+        locs_t.astype(jnp.float32), attn_t.astype(jnp.float32),
+        spatial_shapes, layout,
     )
+    n_rows = idx_k.shape[1]
     qblk = NBLK * QBLOCK
     Q_pad = _round_up(Q, qblk)
     if Q_pad != Q:
@@ -1244,18 +1390,26 @@ def ms_deform_attn_pallas_t(
         # encoder: cheap conservative ranges straight from the locations
         # (the expanded-array select/reduce measured ~1.25 ms/layer)
         ranges = _tile_ranges_from_locs(
-            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // qblk, qblk
+            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // qblk, qblk,
+            layout,
         )
 
-    out = _msda_pallas_fwd_rowtap_impl(value_t, idx_k, w_k, ranges, tile,
-                                       NBLK)
+    if sort_queries and DEC_FUSED:
+        ranges = _rowtap_tile_ranges(idx_k, w_k, Q_pad // QBLOCK)
+        out = _fwd_rowtap_allq_partitioned(tile)(value_t, idx_k, w_k, ranges)
+    else:
+        out = _msda_pallas_fwd_rowtap_impl(
+            value_t, idx_k, w_k, ranges, tile, NBLK,
+            group_rows=n_rows if interleaved else None,
+        )
     if sort_queries:
         out = jnp.take_along_axis(out, inv[:, :, None], axis=1)
     return out[:, :Q]
 
 
-def _fwd_t(value_t, spatial_shapes, locs_t, attn_t):
-    out = ms_deform_attn_pallas_t(value_t, spatial_shapes, locs_t, attn_t)
+def _fwd_t(value_t, spatial_shapes, locs_t, attn_t, layout="raster"):
+    out = ms_deform_attn_pallas_t(value_t, spatial_shapes, locs_t, attn_t,
+                                  layout)
     return out, (value_t, locs_t, attn_t)
 
 
@@ -1309,9 +1463,10 @@ def _bwd_t_rowtap(spatial_shapes, residuals, g):
     return grad_value_t, grad_locs_t, grad_attn_t
 
 
-def _bwd_t(spatial_shapes, residuals, g):
+def _bwd_t(spatial_shapes, layout, residuals, g):
     """g: (BH, Q, D) -> grads in the same transposed layouts."""
-    if BWD_VARIANT == "rowtap":
+    interleaved = layout == "interleaved"
+    if BWD_VARIANT == "rowtap" and not interleaved:
         return _bwd_t_rowtap(spatial_shapes, residuals, g)
     value_t, locs_t, attn_t = residuals
     BH, D, L = value_t.shape
@@ -1319,7 +1474,8 @@ def _bwd_t(spatial_shapes, residuals, g):
     n_taps = NL * P * 4
 
     idx_k, w_k = _corner_indices_and_weights_t(
-        locs_t.astype(jnp.float32), attn_t.astype(jnp.float32), spatial_shapes
+        locs_t.astype(jnp.float32), attn_t.astype(jnp.float32),
+        spatial_shapes, layout,
     )
     Q_pad = _round_up(Q, QBLOCK)
     if Q_pad != Q:
@@ -1343,10 +1499,14 @@ def _bwd_t(spatial_shapes, residuals, g):
         g_k = jnp.take_along_axis(g_k, order[:, :, None], axis=1)
     else:
         ranges = _tile_ranges_from_locs(
-            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK
+            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
+            QBLOCK, layout,
         )
 
-    gv_t, gw = _msda_pallas_bwd_impl(vt, idx_k, w_k, g_k, ranges)
+    gv_t, gw = _msda_pallas_bwd_impl(
+        vt, idx_k, w_k, g_k, ranges,
+        group=n_taps if interleaved else None,
+    )
     if sort_queries:
         gw = jnp.take_along_axis(gw, inv[:, None, :], axis=2)
     grad_value_t = gv_t[:, :, :L].astype(value_t.dtype)
