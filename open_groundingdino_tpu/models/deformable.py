@@ -158,10 +158,41 @@ class MSDeformAttn(nn.Module):
         paths load the same checkpoints and can be mixed freely."""
         from ..ops.msda_pallas import ms_deform_attn_pallas_t
 
-        v_t = nn.Einsum((C, C), "blc,ce->bel", name="value_proj")(value)
-        if key_padding_mask is not None:
-            v_t = jnp.where(key_padding_mask[:, None, :], 0.0, v_t)
-        v_t = v_t.reshape(B * H, D, L)
+        import os as _os
+
+        # default ON: measured 19.44 vs 14.27 img/s e2e (BENCH_NOTES r3) —
+        # the banded kernel replaces the sweep's per-position VPU S-build
+        # with one full-width MXU dot per (point, band)
+        use_banded = (
+            bool(int(_os.environ.get("MSDA_BANDED", "1")))
+            and Q == L
+            and self.value_layout == "raster"
+        )
+
+        if use_banded:
+            # per-level (BH, H_l*D, W_l) value layout for the banded kernel
+            # (y-major rows, D on sublanes, x on lanes) emitted directly by
+            # the projection einsum — same value_proj params
+            kv, bv = _DenseParams(C, C, name="value_proj")()
+            kv_r = kv.reshape(C, H, D).astype(value.dtype)
+            bv_r = bv.reshape(1, H, 1, D, 1).astype(value.dtype)
+            values = []
+            start = 0
+            for (hl, wl) in spatial_shapes:
+                vl = value[:, start : start + hl * wl].reshape(B, hl, wl, C)
+                pv = jnp.einsum("byxc,chd->bhydx", vl, kv_r) + bv_r
+                if key_padding_mask is not None:
+                    ml = key_padding_mask[:, start : start + hl * wl].reshape(
+                        B, 1, hl, 1, wl
+                    )
+                    pv = jnp.where(ml, 0.0, pv)
+                values.append(pv.reshape(B * H, hl * D, wl))
+                start += hl * wl
+        else:
+            v_t = nn.Einsum((C, C), "blc,ce->bel", name="value_proj")(value)
+            if key_padding_mask is not None:
+                v_t = jnp.where(key_padding_mask[:, None, :], 0.0, v_t)
+            v_t = v_t.reshape(B * H, D, L)
 
         O = H * NL * P * 2
         offs_t = nn.Einsum(
@@ -200,10 +231,21 @@ class MSDeformAttn(nn.Module):
             raise ValueError("reference_points last dim must be 2 or 4")
         locs_t = locs_t.reshape(B * H, NL, P, 2, Q)
 
+        k, b = _DenseParams(C, C, name="output_proj")()
+        if use_banded:
+            from ..ops.msda_banded import ms_deform_attn_banded
+
+            out_dq = ms_deform_attn_banded(
+                tuple(values), spatial_shapes, locs_t, attn_t, P
+            )  # (BH, D, Q)
+            out4 = out_dq.reshape(B, H, D, Q)
+            return jnp.einsum(
+                "bhdq,hdf->bqf", out4, k.reshape(H, D, C).astype(out4.dtype)
+            ) + b.astype(out4.dtype)
+
         out = ms_deform_attn_pallas_t(
             v_t, spatial_shapes, locs_t, attn_t, self.value_layout
         )  # (BH, Q, D)
-        k, b = _DenseParams(C, C, name="output_proj")()
         out4 = out.reshape(B, H, Q, D)
         return jnp.einsum(
             "bhqd,hdf->bqf", out4, k.reshape(H, D, C).astype(out4.dtype)

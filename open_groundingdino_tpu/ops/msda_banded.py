@@ -1,0 +1,342 @@
+"""Banded-separable Pallas kernel for multi-scale deformable attention.
+
+The sweep kernel (ops/msda_pallas.py) builds a full scatter matrix S over
+every swept source position with VPU relu-distance taps — profiling pins
+encoder MSDA at ~1.1us per tile-iteration, dominated by the S-build VPU
+chain (the (tile, 128) relu build per row-tap), with the MXU mostly idle
+(its dot runs at N=32 of 128 output lanes).
+
+This kernel splits the bilinear interpolation into its separable factors:
+
+  per (query block, head, level, point):
+    x-interp (MXU):  C[(y, d), q] = sum_x  V[y, d, x] * relu(1 - |px_q - x|)
+                     — ONE dot (BAND*D, W) @ (W, 128q): K = W, N = 128 full
+    y-interp (VPU):  acc[d, q]   += relu(1 - |py_q - y|) * wxe_q * a_q * C[(y, d), q]
+                     — BAND tiny (D, 128) FMAs
+
+over a dynamic y-BAND of rows around the point's block-min row (scalar
+prefetch, fori over ceil(span/BAND) sub-bands — one iteration in the common
+case).  The x relu build is (W, 128) per point — ~8x fewer VPU ops than the
+sweep's per-position build — and the dot runs all 128 output lanes.
+
+Numerics: exactly grid_sample(align_corners=False, padding_mode='zeros'):
+x zero-padding via the rowtap edge-collapse (interior points keep
+fractional px with weight 1; edge points collapse to the single valid
+integer column with the partial weight, folded into wxe); y zero-padding
+falls out of the relu — out-of-image rows are never materialized, and a
+valid row's relu weight equals its bilinear factor by construction.
+
+Value layout: per-level (BH, H_l*D, W_l) arrays (y-major, D on sublanes
+within the row, x on lanes) so a y-band is a dynamic SUBLANE slice —
+supported and cheap, unlike dynamic lane slices.  models/deformable.py
+emits the projection directly in this layout (einsum), so no extra
+relayout of the 40 MB value tensor.
+
+Replaces: reference CUDA op ms_deform_im2col_cuda.cuh:238-299 (forward).
+Backward stays on the corner-sweep kernel (ops/msda_pallas._bwd).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .msda_pallas import (
+    QBLOCK,
+    _batch_partitioned,
+    _round_up,
+)
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+BAND = int(os.environ.get("MSDA_BAND", "4"))
+
+
+def _banded_prep(locs_t, attn_t, spatial_shapes):
+    """Kernel-layout separable factors.
+
+    locs_t: (BH, NL, P, 2, Q) f32; attn_t: (BH, NL, P, Q) f32.
+    Returns (px, py, wa): each (BH, NL*P, Q) f32 —
+      px: continuous x position within the row (edge-collapsed, clipped),
+      py: continuous y position (clipped to [-1, H] so ranges stay sane;
+          the relu-vs-materialized-rows handles zero padding exactly),
+      wa: edge-x partial weight * attention weight (0 kills the point).
+    """
+    px_parts, py_parts, wa_parts = [], [], []
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        pxc = locs_t[:, lvl, :, 0, :] * Wl - 0.5   # (BH, P, Q)
+        pyc = locs_t[:, lvl, :, 1, :] * Hl - 0.5
+        a = attn_t[:, lvl]
+        x0 = jnp.floor(pxc)
+        fx = pxc - x0
+        x0i = x0.astype(jnp.int32)
+
+        v0 = (x0i >= 0) & (x0i <= Wl - 1)
+        v1 = (x0i + 1 >= 0) & (x0i + 1 <= Wl - 1)
+        interior = v0 & v1
+        edge_px = jnp.where(v0, x0, x0 + 1.0)
+        edge_wx = jnp.where(v0, 1.0 - fx, jnp.where(v1, fx, 0.0))
+        px_x = jnp.where(interior, pxc, edge_px)
+        wx = jnp.where(interior, 1.0, edge_wx)
+        px_x = jnp.clip(px_x, 0.0, float(max(Wl - 1, 0)))
+
+        py = jnp.clip(pyc, -1.0, float(Hl))
+        px_parts.append(px_x)
+        py_parts.append(py)
+        wa_parts.append(wx * a)
+    BH, _, _, _, Q = locs_t.shape
+    px = jnp.stack(px_parts, axis=1).reshape(BH, -1, Q)
+    py = jnp.stack(py_parts, axis=1).reshape(BH, -1, Q)
+    wa = jnp.stack(wa_parts, axis=1).reshape(BH, -1, Q)
+    return px, py, wa
+
+
+def _band_ranges(locs_t, spatial_shapes, nqb, bands):
+    """Per (bh, block, level, point) [ylo, n_iters]: ylo = block-min first
+    tap row (clipped to a valid band start), n_iters = ceil(rowspan/BAND_l).
+    -> (BH, nqb*NL*P*2) int32 scalar-prefetch."""
+    BH = locs_t.shape[0]
+    Q = locs_t.shape[-1]
+    Q_pad = nqb * QBLOCK
+    parts = []
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        band = bands[lvl]
+        pyc = locs_t[:, lvl, :, 1, :] * Hl - 0.5      # (BH, P, Q)
+        y0 = jnp.floor(pyc).astype(jnp.int32)
+        y_lo = jnp.clip(y0, 0, Hl - 1)
+        y_hi = jnp.clip(y0 + 1, 0, Hl - 1)
+        if Q_pad != Q:
+            pad = ((0, 0), (0, 0), (0, Q_pad - Q))
+            y_lo = jnp.pad(y_lo, pad, constant_values=Hl - 1)
+            y_hi = jnp.pad(y_hi, pad)
+        blk = lambda t, red: red(
+            t.reshape(BH, -1, nqb, QBLOCK), axis=3
+        )  # (BH, P, nqb)
+        lo = blk(y_lo, jnp.min)
+        hi = blk(y_hi, jnp.max)
+        # non-overlapping band windows [lo + i*band, +band) cover [lo, hi];
+        # the value arrays carry band-1 zero pad rows so the last window
+        # never reads out of bounds (and pad rows contribute exact zeros)
+        n_it = (hi - lo) // band + 1
+        parts.append(jnp.stack([lo, n_it], axis=-1))   # (BH, P, nqb, 2)
+    ranges = jnp.stack(parts, axis=1)                  # (BH, NL, P, nqb, 2)
+    ranges = jnp.moveaxis(ranges, 3, 1)                # (BH, nqb, NL, P, 2)
+    return ranges.reshape(BH, -1).astype(jnp.int32)
+
+
+def _msda_banded_kernel(
+    ranges_ref,   # scalar prefetch (BH*nqb*NL*P*2,) int32
+    *refs,
+    spatial_shapes: Shapes,
+    bands: Tuple[int, ...],
+    n_points: int,
+):
+    """Grid (BH, NQB).  refs = [value_l x NL, px, py, wa, out, acc]."""
+    NL = len(spatial_shapes)
+    values = refs[:NL]
+    px_ref, py_ref, wa_ref, out_ref, acc_ref = refs[NL : NL + 5]
+    D = acc_ref.shape[0]
+    P = n_points
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+    rbase = (bh * nqb + qb) * NL * P * 2
+
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        band = bands[lvl]
+        vref = values[lvl]
+        bf16 = vref.dtype == jnp.bfloat16
+        # x-lane index (W_l sublanes, 128 lanes is wrong orientation —
+        # the relu matrix is (W, 128q): source column on sublanes)
+        colpos = jax.lax.broadcasted_iota(
+            jnp.int32, (Wl, QBLOCK), 0
+        ).astype(jnp.float32)
+
+        for p in range(P):
+            t = lvl * P + p
+            px = px_ref[0, t : t + 1, :]      # (1, 128)
+            py = py_ref[0, t : t + 1, :]
+            wa = wa_ref[0, t : t + 1, :]
+            # Sx[(x), q] = relu(1 - |px_q - x|): zero except the point's
+            # two x-corners (or one, edge-collapsed)
+            sx = jnp.maximum(1.0 - jnp.abs(px - colpos), 0.0)  # (W, 128)
+            sx_mm = sx.astype(jnp.bfloat16) if bf16 else sx
+
+            ylo = ranges_ref[rbase + 2 * t]
+            n_it = ranges_ref[rbase + 2 * t + 1]
+
+            def band_body(bi, _, ylo=ylo, band=band, vref=vref,
+                          sx_mm=sx_mm, py=py, wa=wa):
+                ybase = ylo + bi * band
+                A = vref[0, pl.ds(ybase * D, band * D), :]  # (band*D, W)
+                C = jax.lax.dot_general(
+                    A, sx_mm,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=(jax.lax.Precision.DEFAULT if bf16
+                               else jax.lax.Precision.HIGHEST),
+                    preferred_element_type=jnp.float32,
+                )  # (band*D, 128)
+                yb = ybase.astype(jnp.float32)
+                for r in range(band):
+                    wy = jnp.maximum(
+                        1.0 - jnp.abs(py - (yb + r)), 0.0
+                    ) * wa                                     # (1, 128)
+                    acc_ref[:] = acc_ref[:] + wy * C[r * D : (r + 1) * D, :]
+                return 0
+
+            jax.lax.fori_loop(0, n_it, band_body, 0)
+
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _banded_call(values, px, py, wa, ranges, spatial_shapes, n_points):
+    """values: list of (BH, H_l*D, W_l); px/py/wa: (BH, NL*P, Q_pad);
+    ranges flat int32 -> out (BH, D, Q_pad) (D-major: consumers absorb the
+    orientation into their einsums)."""
+    NL = len(spatial_shapes)
+    BH = px.shape[0]
+    Q_pad = px.shape[-1]
+    nqb = Q_pad // QBLOCK
+    bands = tuple(min(BAND, h) for h, w in spatial_shapes)
+    # values arrive with band-1 zero pad rows per level
+    D = values[0].shape[1] // (spatial_shapes[0][0] + bands[0] - 1)
+
+    kernel = functools.partial(
+        _msda_banded_kernel, spatial_shapes=spatial_shapes, bands=bands,
+        n_points=n_points,
+    )
+    interpret = jax.devices()[0].platform != "tpu"
+    in_specs = [
+        pl.BlockSpec((1, (h + b - 1) * D, w), (lambda bh, qb, r: (bh, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for (h, w), b in zip(spatial_shapes, bands)
+    ] + [
+        pl.BlockSpec((1, px.shape[1], QBLOCK),
+                     lambda bh, qb, r: (bh, 0, qb), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, px.shape[1], QBLOCK),
+                     lambda bh, qb, r: (bh, 0, qb), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, px.shape[1], QBLOCK),
+                     lambda bh, qb, r: (bh, 0, qb), memory_space=pltpu.VMEM),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, nqb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, D, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((D, QBLOCK), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, D, Q_pad), values[0].dtype),
+    )(ranges, *values, px, py, wa)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_partitioned(spatial_shapes: Shapes, n_points: int):
+    NL = len(spatial_shapes)
+
+    def impl(*args):
+        values = list(args[:NL])
+        px, py, wa, ranges2d = args[NL : NL + 4]
+        return _banded_call(values, px, py, wa, ranges2d.reshape(-1),
+                            spatial_shapes, n_points)
+
+    factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
+        ("b", "n", "q"), ("b", "n", "q"), ("b", "n", "q"), ("b", "r"),
+        ("b", "d", "q"),
+    ]
+    return _batch_partitioned(impl, NL + 4, 1, factors)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def ms_deform_attn_banded(
+    values,                 # tuple of (BH, H_l*D, W_l) per level
+    spatial_shapes: Shapes,
+    locs_t: jnp.ndarray,    # (BH, NL, P, 2, Q) f32
+    attn_t: jnp.ndarray,    # (BH, NL, P, Q) f32
+    n_points: int,
+) -> jnp.ndarray:           # (BH, D, Q)
+    BH = locs_t.shape[0]
+    Q = locs_t.shape[-1]
+    bands = tuple(min(BAND, h) for h, w in spatial_shapes)
+    D = values[0].shape[1] // spatial_shapes[0][0]
+    px, py, wa = _banded_prep(
+        locs_t.astype(jnp.float32), attn_t.astype(jnp.float32),
+        spatial_shapes,
+    )
+    Q_pad = _round_up(Q, QBLOCK)
+    if Q_pad != Q:
+        pad = ((0, 0), (0, 0), (0, Q_pad - Q))
+        # pad px in-range / wa zero so padded queries sample row 0 cheaply
+        px = jnp.pad(px, pad)
+        py = jnp.pad(py, pad)
+        wa = jnp.pad(wa, pad)
+    # band-1 zero tail rows per level: the last band window of a point near
+    # the bottom edge reads them and they contribute exact zeros
+    values = tuple(
+        jnp.pad(v, ((0, 0), (0, (b - 1) * D), (0, 0)))
+        for v, b in zip(values, bands)
+    )
+    ranges = _band_ranges(
+        locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK, bands
+    )
+    out = _banded_partitioned(tuple(spatial_shapes), n_points)(
+        *values, px, py, wa, ranges
+    )
+    return out[:, :, :Q]
+
+
+def _banded_fwd(values, spatial_shapes, locs_t, attn_t, n_points):
+    out = ms_deform_attn_banded(values, spatial_shapes, locs_t, attn_t,
+                                n_points)
+    return out, (values, locs_t, attn_t)
+
+
+def _banded_bwd(spatial_shapes, n_points, residuals, g):
+    """Backward via the corner-sweep kernels (ops/msda_pallas._bwd_t
+    machinery): convert the per-level value layout to the sweep's
+    (BH, D, L) raster, run the proven corner backward, convert grads back.
+    g: (BH, D, Q)."""
+    from .msda_pallas import _bwd_t
+
+    values, locs_t, attn_t = residuals
+    BH = locs_t.shape[0]
+    D = g.shape[1]
+    # per-level (BH, H*D, W) -> (BH, D, H*W) raster concat
+    vs = []
+    for v, (h, w) in zip(values, spatial_shapes):
+        vs.append(
+            jnp.transpose(v.reshape(BH, h, D, w), (0, 2, 1, 3)).reshape(
+                BH, D, h * w
+            )
+        )
+    value_t = jnp.concatenate(vs, axis=-1)
+    g_q = jnp.transpose(g, (0, 2, 1))  # (BH, Q, D)
+    gv_t, g_locs, g_attn = _bwd_t(
+        tuple(spatial_shapes), "raster", (value_t, locs_t, attn_t), g_q
+    )
+    # raster grad -> per-level banded layouts
+    gvs = []
+    start = 0
+    for v, (h, w) in zip(values, spatial_shapes):
+        gl = gv_t[:, :, start : start + h * w].reshape(BH, D, h, w)
+        gvs.append(
+            jnp.transpose(gl, (0, 2, 1, 3)).reshape(BH, h * D, w).astype(
+                v.dtype
+            )
+        )
+        start += h * w
+    return tuple(gvs), g_locs, g_attn
+
+
+ms_deform_attn_banded.defvjp(_banded_fwd, _banded_bwd)

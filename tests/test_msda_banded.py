@@ -1,0 +1,145 @@
+"""Banded-separable MSDA kernel (ops/msda_banded.py): forward + gradient
+parity vs the XLA reference, including out-of-image sampling locations
+(grid_sample zero padding), plus the full MSDeformAttn module with
+MSDA_BANDED=1 vs the XLA impl."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_groundingdino_tpu.ops.msda import ms_deform_attn_xla
+from open_groundingdino_tpu.ops.msda_banded import ms_deform_attn_banded
+
+B, H, D, NL, NP = 2, 2, 8, 4, 4
+SHAPES = ((8, 12), (4, 6), (2, 3), (1, 2))
+L = sum(h * w for h, w in SHAPES)
+Q = L
+
+
+def _inputs(seed=0, loc_lo=-0.1, loc_hi=1.1):
+    rng = np.random.RandomState(seed)
+    v_t = rng.randn(B * H, D, L).astype(np.float32)
+    locs = rng.uniform(loc_lo, loc_hi, (B * H, NL, NP, 2, Q)).astype(
+        np.float32
+    )
+    attn = rng.uniform(0, 1, (B * H, NL, NP, Q)).astype(np.float32)
+    return v_t, locs, attn
+
+
+def _banded_values(v_t):
+    values, start = [], 0
+    for (h, w) in SHAPES:
+        vl = v_t[:, :, start : start + h * w].reshape(B * H, D, h, w)
+        values.append(
+            np.ascontiguousarray(
+                vl.transpose(0, 2, 1, 3).reshape(B * H, h * D, w)
+            )
+        )
+        start += h * w
+    return tuple(values)
+
+
+def _xla_ref_dq(v_t, locs, attn):
+    value = jnp.transpose(jnp.asarray(v_t).reshape(B, H, D, L), (0, 3, 1, 2))
+    locs_b = jnp.transpose(
+        locs.reshape(B, H, NL, NP, 2, Q), (0, 5, 1, 2, 3, 4)
+    )
+    attn_b = jnp.transpose(attn.reshape(B, H, NL, NP, Q), (0, 4, 1, 2, 3))
+    ref = ms_deform_attn_xla(value, SHAPES, locs_b, attn_b)
+    return jnp.transpose(
+        ref.reshape(B, Q, H, D), (0, 2, 3, 1)
+    ).reshape(B * H, D, Q)
+
+
+def test_banded_forward_parity_with_padding():
+    v_t, locs, attn = _inputs()
+    out = jax.jit(
+        lambda vs, l, a: ms_deform_attn_banded(vs, SHAPES, l, a, NP)
+    )(_banded_values(v_t), locs, attn)
+    ref = _xla_ref_dq(v_t, locs, attn)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_banded_grads_parity():
+    v_t, locs, attn = _inputs(1)
+    values = _banded_values(v_t)
+
+    def loss_b(vs, l, a):
+        return jnp.sum(jnp.sin(ms_deform_attn_banded(vs, SHAPES, l, a, NP)))
+
+    def loss_x(v, l, a):
+        return jnp.sum(jnp.sin(_xla_ref_dq(v, l, a)))
+
+    gb = jax.jit(jax.grad(loss_b, argnums=(0, 1, 2)))(
+        values, jnp.asarray(locs), jnp.asarray(attn)
+    )
+    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))(
+        jnp.asarray(v_t), jnp.asarray(locs), jnp.asarray(attn)
+    )
+    start = 0
+    for i, (h, w) in enumerate(SHAPES):
+        gr = (
+            np.asarray(gx[0][:, :, start : start + h * w])
+            .reshape(B * H, D, h, w)
+            .transpose(0, 2, 1, 3)
+            .reshape(B * H, h * D, w)
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb[0][i]), gr, rtol=5e-4, atol=5e-4,
+            err_msg=f"grad_value level {i}",
+        )
+        start += h * w
+    for i, name in ((1, "locs"), (2, "attn")):
+        np.testing.assert_allclose(
+            np.asarray(gb[i]), np.asarray(gx[i]), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad_{name}",
+        )
+
+
+def test_banded_module_matches_xla(monkeypatch):
+    """Full MSDeformAttn with MSDA_BANDED=1 (projections + kernel + VJP +
+    masks) vs impl='xla' — forward and all parameter grads."""
+    monkeypatch.setenv("MSDA_BANDED", "1")
+    from open_groundingdino_tpu.models.deformable import MSDeformAttn
+
+    C = H * D * 2  # 4 heads of D=8
+    heads = 4
+    rng = np.random.RandomState(2)
+    query = rng.randn(B, Q, C).astype(np.float32)
+    value = rng.randn(B, L, C).astype(np.float32)
+    ref_pts = rng.uniform(0.05, 0.95, (B, Q, NL, 2)).astype(np.float32)
+    kpm = np.zeros((B, L), bool)
+    kpm[1, -5:] = True
+
+    mx = MSDeformAttn(embed_dim=C, num_heads=heads, num_levels=NL,
+                      num_points=NP, impl="xla")
+    mp = MSDeformAttn(embed_dim=C, num_heads=heads, num_levels=NL,
+                      num_points=NP, impl="pallas")
+    params = mx.init(jax.random.PRNGKey(0), query, value, ref_pts, SHAPES,
+                     kpm)
+    ox = mx.apply(params, query, value, ref_pts, SHAPES, kpm)
+    op = jax.jit(
+        lambda p: mp.apply(p, query, value, ref_pts, SHAPES, kpm)
+    )(params)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                               rtol=2e-4, atol=2e-4)
+
+    gx = jax.jit(jax.grad(
+        lambda p: jnp.sum(jnp.sin(mx.apply(p, query, value, ref_pts,
+                                           SHAPES, kpm)))
+    ))(params)
+    gp = jax.jit(jax.grad(
+        lambda p: jnp.sum(jnp.sin(mp.apply(p, query, value, ref_pts,
+                                           SHAPES, kpm)))
+    ))(params)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gp),
+        jax.tree_util.tree_leaves_with_path(gx),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
+            err_msg=jax.tree_util.keystr(kp),
+        )
