@@ -162,12 +162,17 @@ class MSDeformAttn(nn.Module):
 
         # default ON: measured 19.44 vs 14.27 img/s e2e (BENCH_NOTES r3) —
         # the banded kernel replaces the sweep's per-position VPU S-build
-        # with one full-width MXU dot per (point, band)
+        # with one full-width MXU dot per (point, band).  Decoder-style
+        # query sets (Q != L) go through the sorted wrapper.
         use_banded = (
             bool(int(_os.environ.get("MSDA_BANDED", "1")))
-            and Q == L
             and self.value_layout == "raster"
         )
+        banded_sorted = use_banded and Q != L
+        if banded_sorted and not bool(
+            int(_os.environ.get("MSDA_BANDED_DEC", "1"))
+        ):
+            use_banded = banded_sorted = False
 
         if use_banded:
             # per-level (BH, H_l*D, W_l) value layout for the banded kernel
@@ -233,9 +238,14 @@ class MSDeformAttn(nn.Module):
 
         k, b = _DenseParams(C, C, name="output_proj")()
         if use_banded:
-            from ..ops.msda_banded import ms_deform_attn_banded
+            from ..ops.msda_banded import (
+                ms_deform_attn_banded,
+                ms_deform_attn_banded_sorted,
+            )
 
-            out_dq = ms_deform_attn_banded(
+            fn = (ms_deform_attn_banded_sorted if banded_sorted
+                  else ms_deform_attn_banded)
+            out_dq = fn(
                 tuple(values), spatial_shapes, locs_t, attn_t, P
             )  # (BH, D, Q)
             out4 = out_dq.reshape(B, H, D, Q)

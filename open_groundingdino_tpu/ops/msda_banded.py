@@ -340,3 +340,26 @@ def _banded_bwd(spatial_shapes, n_points, residuals, g):
 
 
 ms_deform_attn_banded.defvjp(_banded_fwd, _banded_bwd)
+
+
+def ms_deform_attn_banded_sorted(values, spatial_shapes, locs_t, attn_t,
+                                 n_points):
+    """Decoder-style entry (Q != number of tokens): queries are spatially
+    unsorted, so a 128-query block's y-band would span the whole map.  Sort
+    queries by the (y, x) center of their first finest-level point — any
+    permutation is exact for independent queries — run the banded kernel,
+    un-sort the outputs.  Differentiable (plain take_along_axis around the
+    custom-VJP core)."""
+    H0, W0 = spatial_shapes[0]
+    y = jnp.clip(locs_t[:, 0, 0, 1, :].astype(jnp.float32), -0.1, 1.1)
+    x = jnp.clip(locs_t[:, 0, 0, 0, :].astype(jnp.float32), -0.1, 1.1)
+    key = y * H0 * (W0 + 2) + x * W0
+    order = jnp.argsort(key, axis=1)                     # (BH, Q)
+    inv = jnp.argsort(order, axis=1)
+    locs_s = jnp.take_along_axis(
+        locs_t, order[:, None, None, None, :], axis=4
+    )
+    attn_s = jnp.take_along_axis(attn_t, order[:, None, None, :], axis=3)
+    out = ms_deform_attn_banded(values, spatial_shapes, locs_s, attn_s,
+                                n_points)                # (BH, D, Q)
+    return jnp.take_along_axis(out, inv[:, None, :], axis=2)
