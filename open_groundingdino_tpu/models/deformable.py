@@ -78,6 +78,10 @@ class MSDeformAttn(nn.Module):
     # order (encoder path) — tap positions are remapped in closed form and
     # the kernel sweeps one merged range per query block
     value_layout: str = "raster"
+    # queries already arrive spatially coherent (encoder row-band order) —
+    # skip the banded path's decoder-style sort even when Q != L (the
+    # encoder stream may carry 128-alignment pad queries)
+    presorted_queries: bool = False
 
     @nn.compact
     def __call__(
@@ -168,7 +172,7 @@ class MSDeformAttn(nn.Module):
             bool(int(_os.environ.get("MSDA_BANDED", "1")))
             and self.value_layout == "raster"
         )
-        banded_sorted = use_banded and Q != L
+        banded_sorted = use_banded and Q != L and not self.presorted_queries
         if banded_sorted and not bool(
             int(_os.environ.get("MSDA_BANDED_DEC", "1"))
         ):
@@ -245,8 +249,11 @@ class MSDeformAttn(nn.Module):
 
             fn = (ms_deform_attn_banded_sorted if banded_sorted
                   else ms_deform_attn_banded)
+            band = int(_os.environ.get(
+                "MSDA_BAND_DEC" if banded_sorted else "MSDA_BAND_ENC", "0"
+            )) or None
             out_dq = fn(
-                tuple(values), spatial_shapes, locs_t, attn_t, P
+                tuple(values), spatial_shapes, locs_t, attn_t, P, band
             )  # (BH, D, Q)
             out4 = out_dq.reshape(B, H, D, Q)
             return jnp.einsum(

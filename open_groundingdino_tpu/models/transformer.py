@@ -200,6 +200,7 @@ class DeformableEncoderLayer(nn.Module):
         src2 = MSDeformAttn(
             self.d_model, self.n_heads, self.n_levels, self.n_points,
             impl=self.msda_impl, value_layout=self.msda_value_layout,
+            presorted_queries=True,
             name="self_attn",
         )(src + pos, value, reference_points, self.spatial_shapes, key_padding_mask)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + src2)
@@ -405,6 +406,26 @@ class Transformer(nn.Module):
         else:
             output = src
             kpm_q = key_padding_mask
+
+        # pad the QUERY stream once to the kernels' 128-block multiple so
+        # neither the fusion kernel (VBLOCK) nor the banded MSDA (QBLOCK)
+        # re-pads (B, S, E)-sized operands every layer (~0.5 ms per pad at
+        # bench shapes, 12+ pads/fwd).  Tail queries are key-masked
+        # everywhere (kpm True) and dropped by the final inv-take; the
+        # deformable VALUE stream stays exactly L (take(output, inv) below
+        # extracts the live tokens).  Edge-mode reference points keep the
+        # tail block spatially coherent for the banded kernel's y-ranges.
+        S = output.shape[1]
+        S_pad = -(-S // 128) * 128
+        if use_perm and S_pad != S:
+            pn = S_pad - S
+            output = jnp.pad(output, ((0, 0), (0, pn), (0, 0)))
+            pos = jnp.pad(pos, ((0, 0), (0, pn), (0, 0)))
+            reference_points = jnp.pad(
+                reference_points, ((0, 0), (0, pn), (0, 0), (0, 0)),
+                mode="edge",
+            )
+            kpm_q = jnp.pad(kpm_q, ((0, 0), (0, pn)), constant_values=True)
 
         for i in range(self.num_encoder_layers):
             if self.use_fusion_layer:

@@ -33,7 +33,20 @@ emits the projection directly in this layout (einsum), so no extra
 relayout of the 40 MB value tensor.
 
 Replaces: reference CUDA op ms_deform_im2col_cuda.cuh:238-299 (forward).
-Backward stays on the corner-sweep kernel (ops/msda_pallas._bwd).
+
+Backward (ms_deform_col2im_cuda.cuh equivalent): same banded structure,
+env knob MSDA_BANDED_BWD.  Per (point, y-band window):
+  C  = A @ Sx,  Cp = A @ Sx'   — the forward dot + the d/dpx derivative
+                                 dot (Sx' = -sign(px - x) on the support)
+  gV[band] += B @ Sx^T          — B[(y,d), q] = wy*wa*g (the y-interp
+                                 factors applied to the upstream grad);
+                                 accumulated into the (H*D, W) grad ref at
+                                 a dynamic sublane offset, across the
+                                 sequential q-block grid axis
+  g_wa/g_px/g_py               — (D, 128) FMA accumulations over band rows
+                                 then one cross-sublane d-reduction each.
+Gradients w.r.t. locations/attention chain through _banded_prep via
+jax.vjp (the edge-collapse/clip prep is plain differentiable XLA).
 """
 from __future__ import annotations
 
@@ -196,7 +209,8 @@ def _msda_banded_kernel(
     out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _banded_call(values, px, py, wa, ranges, spatial_shapes, n_points):
+def _banded_call(values, px, py, wa, ranges, spatial_shapes, n_points,
+                 band):
     """values: list of (BH, H_l*D, W_l); px/py/wa: (BH, NL*P, Q_pad);
     ranges flat int32 -> out (BH, D, Q_pad) (D-major: consumers absorb the
     orientation into their einsums)."""
@@ -204,7 +218,7 @@ def _banded_call(values, px, py, wa, ranges, spatial_shapes, n_points):
     BH = px.shape[0]
     Q_pad = px.shape[-1]
     nqb = Q_pad // QBLOCK
-    bands = tuple(min(BAND, h) for h, w in spatial_shapes)
+    bands = tuple(min(band, h) for h, w in spatial_shapes)
     # values arrive with band-1 zero pad rows per level
     D = values[0].shape[1] // (spatial_shapes[0][0] + bands[0] - 1)
 
@@ -242,14 +256,14 @@ def _banded_call(values, px, py, wa, ranges, spatial_shapes, n_points):
 
 
 @functools.lru_cache(maxsize=None)
-def _banded_partitioned(spatial_shapes: Shapes, n_points: int):
+def _banded_partitioned(spatial_shapes: Shapes, n_points: int, band: int):
     NL = len(spatial_shapes)
 
     def impl(*args):
         values = list(args[:NL])
         px, py, wa, ranges2d = args[NL : NL + 4]
         return _banded_call(values, px, py, wa, ranges2d.reshape(-1),
-                            spatial_shapes, n_points)
+                            spatial_shapes, n_points, band)
 
     factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
         ("b", "n", "q"), ("b", "n", "q"), ("b", "n", "q"), ("b", "r"),
@@ -258,17 +272,18 @@ def _banded_partitioned(spatial_shapes: Shapes, n_points: int):
     return _batch_partitioned(impl, NL + 4, 1, factors)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
-def ms_deform_attn_banded(
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def _banded_core(
     values,                 # tuple of (BH, H_l*D, W_l) per level
     spatial_shapes: Shapes,
     locs_t: jnp.ndarray,    # (BH, NL, P, 2, Q) f32
     attn_t: jnp.ndarray,    # (BH, NL, P, Q) f32
     n_points: int,
+    band: int,
 ) -> jnp.ndarray:           # (BH, D, Q)
     BH = locs_t.shape[0]
     Q = locs_t.shape[-1]
-    bands = tuple(min(BAND, h) for h, w in spatial_shapes)
+    bands = tuple(min(band, h) for h, w in spatial_shapes)
     D = values[0].shape[1] // spatial_shapes[0][0]
     px, py, wa = _banded_prep(
         locs_t.astype(jnp.float32), attn_t.astype(jnp.float32),
@@ -290,23 +305,257 @@ def ms_deform_attn_banded(
     ranges = _band_ranges(
         locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK, bands
     )
-    out = _banded_partitioned(tuple(spatial_shapes), n_points)(
+    out = _banded_partitioned(tuple(spatial_shapes), n_points, band)(
         *values, px, py, wa, ranges
     )
     return out[:, :, :Q]
 
 
-def _banded_fwd(values, spatial_shapes, locs_t, attn_t, n_points):
-    out = ms_deform_attn_banded(values, spatial_shapes, locs_t, attn_t,
-                                n_points)
+def _msda_banded_bwd_kernel(
+    ranges_ref,   # scalar prefetch (BH*nqb*NL*P*2,) int32
+    *refs,
+    spatial_shapes: Shapes,
+    bands: Tuple[int, ...],
+    n_points: int,
+):
+    """Grid (BH, NQB).  refs = [value_l x NL, px, py, wa, g,
+    gv_l x NL, gpx, gpy, gwa].  gv blocks are revisited across the
+    sequential qb axis (zeroed at qb==0, read-modify-write after)."""
+    NL = len(spatial_shapes)
+    values = refs[:NL]
+    px_ref, py_ref, wa_ref, g_ref = refs[NL : NL + 4]
+    gv = refs[NL + 4 : NL + 4 + NL]
+    gpx_ref, gpy_ref, gwa_ref = refs[NL + 4 + NL :]
+    D = g_ref.shape[1]
+    P = n_points
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
+
+    @pl.when(qb == 0)
+    def _zero():
+        for r in gv:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    g = g_ref[0].astype(jnp.float32)            # (D, 128)
+    rbase = (bh * nqb + qb) * NL * P * 2
+
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        band = bands[lvl]
+        vref = values[lvl]
+        gvref = gv[lvl]
+        bf16 = vref.dtype == jnp.bfloat16
+        colpos = jax.lax.broadcasted_iota(
+            jnp.int32, (Wl, QBLOCK), 0
+        ).astype(jnp.float32)
+
+        for p in range(P):
+            t = lvl * P + p
+            px = px_ref[0, t : t + 1, :]        # (1, 128)
+            py = py_ref[0, t : t + 1, :]
+            wa = wa_ref[0, t : t + 1, :]
+            dxc = px - colpos                   # (W, 128)
+            adx = jnp.abs(dxc)
+            sx = jnp.maximum(1.0 - adx, 0.0)
+            # d sx / d px on the open support (measure-zero kinks dropped,
+            # matching the CUDA op's subgradient choice)
+            sxp = jnp.where(adx < 1.0, -jnp.sign(dxc), 0.0)
+            if bf16:
+                sx_mm = sx.astype(jnp.bfloat16)
+                sxp_mm = sxp.astype(jnp.bfloat16)
+            else:
+                sx_mm, sxp_mm = sx, sxp
+            prec = (jax.lax.Precision.DEFAULT if bf16
+                    else jax.lax.Precision.HIGHEST)
+
+            ylo = ranges_ref[rbase + 2 * t]
+            n_it = ranges_ref[rbase + 2 * t + 1]
+
+            def band_body(bi, carry, ylo=ylo, band=band, vref=vref,
+                          gvref=gvref, sx_mm=sx_mm, sxp_mm=sxp_mm,
+                          py=py, wa=wa, g=g, prec=prec, D=D):
+                s_wa, s_px, s_py = carry
+                ybase = ylo + bi * band
+                A = vref[0, pl.ds(ybase * D, band * D), :]  # (band*D, W)
+                C = jax.lax.dot_general(
+                    A, sx_mm, dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32,
+                )                                           # (band*D, 128)
+                Cp = jax.lax.dot_general(
+                    A, sxp_mm, dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32,
+                )
+                yb = ybase.astype(jnp.float32)
+                b_rows = []
+                for r in range(band):
+                    dy = py - (yb + r)                      # (1, 128)
+                    ady = jnp.abs(dy)
+                    wy = jnp.maximum(1.0 - ady, 0.0)
+                    dwy = jnp.where(ady < 1.0, -jnp.sign(dy), 0.0)
+                    Cr = C[r * D : (r + 1) * D, :]
+                    Cpr = Cp[r * D : (r + 1) * D, :]
+                    s_wa = s_wa + wy * Cr
+                    s_px = s_px + wy * Cpr
+                    s_py = s_py + dwy * Cr
+                    b_rows.append((wy * wa) * g)            # (D, 128)
+                B = jnp.concatenate(b_rows, axis=0)         # (band*D, 128)
+                if gvref.dtype == jnp.bfloat16:
+                    B = B.astype(jnp.bfloat16)
+                gvc = jax.lax.dot_general(
+                    B, sx_mm, dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32,
+                )                                           # (band*D, W)
+                sl = pl.ds(ybase * D, band * D)
+                gvref[0, sl, :] = gvref[0, sl, :] + gvc.astype(gvref.dtype)
+                return (s_wa, s_px, s_py)
+
+            zero = jnp.zeros((D, QBLOCK), jnp.float32)
+            s_wa, s_px, s_py = jax.lax.fori_loop(
+                0, n_it, band_body, (zero, zero, zero)
+            )
+            gwa_ref[0, t : t + 1, :] = jnp.sum(
+                g * s_wa, axis=0, keepdims=True
+            )
+            gpx_ref[0, t : t + 1, :] = wa * jnp.sum(
+                g * s_px, axis=0, keepdims=True
+            )
+            gpy_ref[0, t : t + 1, :] = wa * jnp.sum(
+                g * s_py, axis=0, keepdims=True
+            )
+
+
+def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
+                     n_points, band):
+    """values: per-level (BH, (H_l+band-1)*D, W_l) (zero tail rows);
+    px/py/wa: (BH, NL*P, Q_pad); g: (BH, D, Q_pad) ->
+    (gv per level f32, gpx, gpy, gwa)."""
+    NL = len(spatial_shapes)
+    BH = px.shape[0]
+    Q_pad = px.shape[-1]
+    nqb = Q_pad // QBLOCK
+    bands = tuple(min(band, h) for h, w in spatial_shapes)
+    D = g.shape[1]
+    NP = px.shape[1]
+
+    kernel = functools.partial(
+        _msda_banded_bwd_kernel, spatial_shapes=spatial_shapes, bands=bands,
+        n_points=n_points,
+    )
+    interpret = jax.devices()[0].platform != "tpu"
+    val_specs = [
+        pl.BlockSpec((1, (h + b - 1) * D, w), (lambda bh, qb, r: (bh, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for (h, w), b in zip(spatial_shapes, bands)
+    ]
+    tap_spec = lambda: pl.BlockSpec(
+        (1, NP, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, nqb),
+        in_specs=val_specs + [
+            tap_spec(), tap_spec(), tap_spec(),
+            pl.BlockSpec((1, D, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=val_specs + [tap_spec(), tap_spec(), tap_spec()],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct(((BH,) + v.shape[1:]), jnp.float32)
+        for v in values
+    ] + [
+        jax.ShapeDtypeStruct((BH, NP, Q_pad), jnp.float32)
+        for _ in range(3)
+    ]
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+    )(ranges, *values, px, py, wa, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_bwd_partitioned(spatial_shapes: Shapes, n_points: int,
+                            band: int):
+    NL = len(spatial_shapes)
+
+    def impl(*args):
+        values = list(args[:NL])
+        px, py, wa, g, ranges2d = args[NL : NL + 5]
+        return tuple(
+            _banded_bwd_call(values, px, py, wa, g, ranges2d.reshape(-1),
+                             spatial_shapes, n_points, band)
+        )
+
+    in_factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
+        ("b", "n", "q"), ("b", "n", "q"), ("b", "n", "q"), ("b", "d", "q"),
+        ("b", "r"),
+    ]
+    out_factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
+        ("b", "n", "q"), ("b", "n", "q"), ("b", "n", "q"),
+    ]
+    return _batch_partitioned(impl, NL + 5, NL + 3,
+                              in_factors + out_factors)
+
+
+def _banded_fwd(values, spatial_shapes, locs_t, attn_t, n_points, band):
+    out = _banded_core(values, spatial_shapes, locs_t, attn_t, n_points,
+                       band)
     return out, (values, locs_t, attn_t)
 
 
-def _banded_bwd(spatial_shapes, n_points, residuals, g):
-    """Backward via the corner-sweep kernels (ops/msda_pallas._bwd_t
-    machinery): convert the per-level value layout to the sweep's
-    (BH, D, L) raster, run the proven corner backward, convert grads back.
+def _banded_bwd(spatial_shapes, n_points, band, residuals, g):
+    """Backward dispatch: native banded backward kernel (default), or the
+    corner-sweep backward via layout conversion (MSDA_BANDED_BWD=0).
     g: (BH, D, Q)."""
+    if bool(int(os.environ.get("MSDA_BANDED_BWD", "1"))):
+        return _banded_bwd_native(spatial_shapes, n_points, band,
+                                  residuals, g)
+    return _banded_bwd_corner(spatial_shapes, n_points, residuals, g)
+
+
+def _banded_bwd_native(spatial_shapes, n_points, band, residuals, g):
+    values, locs_t, attn_t = residuals
+    BH = locs_t.shape[0]
+    Q = locs_t.shape[-1]
+    bands = tuple(min(band, h) for h, w in spatial_shapes)
+    (px, py, wa), prep_vjp = jax.vjp(
+        lambda l, a: _banded_prep(l, a, spatial_shapes),
+        locs_t.astype(jnp.float32), attn_t.astype(jnp.float32),
+    )
+    Q_pad = _round_up(Q, QBLOCK)
+    if Q_pad != Q:
+        pad = ((0, 0), (0, 0), (0, Q_pad - Q))
+        px = jnp.pad(px, pad)
+        py = jnp.pad(py, pad)
+        wa = jnp.pad(wa, pad)
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, Q_pad - Q)))
+    values_p = tuple(
+        jnp.pad(v, ((0, 0), (0, (b - 1) * (v.shape[1] // h)), (0, 0)))
+        for v, b, (h, _w) in zip(values, bands, spatial_shapes)
+    )
+    ranges = _band_ranges(
+        locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK, bands
+    )
+    outs = _banded_bwd_partitioned(tuple(spatial_shapes), n_points, band)(
+        *values_p, px, py, wa, g, ranges
+    )
+    NL = len(spatial_shapes)
+    gvs = tuple(
+        o[:, : v.shape[1], :].astype(v.dtype)
+        for o, v in zip(outs[:NL], values)
+    )
+    gpx, gpy, gwa = (o[:, :, :Q] for o in outs[NL:])
+    g_locs, g_attn = prep_vjp((gpx, gpy, gwa))
+    return gvs, g_locs.astype(locs_t.dtype), g_attn.astype(attn_t.dtype)
+
+
+def _banded_bwd_corner(spatial_shapes, n_points, residuals, g):
+    """Corner-sweep backward via layout conversion (ops/msda_pallas._bwd_t):
+    per-level banded values -> (BH, D, L) raster, proven corner backward,
+    grads converted back."""
     from .msda_pallas import _bwd_t
 
     values, locs_t, attn_t = residuals
@@ -339,11 +588,20 @@ def _banded_bwd(spatial_shapes, n_points, residuals, g):
     return tuple(gvs), g_locs, g_attn
 
 
-ms_deform_attn_banded.defvjp(_banded_fwd, _banded_bwd)
+_banded_core.defvjp(_banded_fwd, _banded_bwd)
+
+
+def ms_deform_attn_banded(values, spatial_shapes, locs_t, attn_t, n_points,
+                          band=None):
+    """Public entry; band = y-rows per sub-band window (None -> MSDA_BAND
+    env, default 4).  Encoder and decoder callers pick different bands
+    (measured: encoder prefers 8, sorted decoder prefers 4)."""
+    return _banded_core(values, spatial_shapes, locs_t, attn_t, n_points,
+                        int(band or BAND))
 
 
 def ms_deform_attn_banded_sorted(values, spatial_shapes, locs_t, attn_t,
-                                 n_points):
+                                 n_points, band=None):
     """Decoder-style entry (Q != number of tokens): queries are spatially
     unsorted, so a 128-query block's y-band would span the whole map.  Sort
     queries by the (y, x) center of their first finest-level point — any
@@ -361,5 +619,5 @@ def ms_deform_attn_banded_sorted(values, spatial_shapes, locs_t, attn_t,
     )
     attn_s = jnp.take_along_axis(attn_t, order[:, None, None, :], axis=3)
     out = ms_deform_attn_banded(values, spatial_shapes, locs_s, attn_s,
-                                n_points)                # (BH, D, Q)
+                                n_points, band)          # (BH, D, Q)
     return jnp.take_along_axis(out, inv[:, None, :], axis=2)

@@ -106,9 +106,14 @@ def _batch_partitioned(impl_fn, n_in: int, n_out: int, factor_lists):
         )
         return mesh, impl_fn, res_sh, arg_sh
 
-    all_factors = sorted(
-        {x for fl in factor_lists for x in fl if x != "b"}
-    )
+    # Shardy requires need_replication factors ordered by their index in
+    # the rule, i.e. by FIRST APPEARANCE across the factor lists (an
+    # alphabetical sort breaks when e.g. "d" first appears after "w3")
+    all_factors = []
+    for fl in factor_lists:
+        for x in fl:
+            if x != "b" and x not in all_factors:
+                all_factors.append(x)
     f.def_partition(
         infer_sharding_from_operands=infer,
         partition=part,

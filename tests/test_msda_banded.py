@@ -63,7 +63,10 @@ def test_banded_forward_parity_with_padding():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_banded_grads_parity():
+@pytest.mark.parametrize("bwd", ["1", "0"])
+def test_banded_grads_parity(bwd, monkeypatch):
+    # "1" = native banded backward kernel, "0" = corner-sweep fallback
+    monkeypatch.setenv("MSDA_BANDED_BWD", bwd)
     v_t, locs, attn = _inputs(1)
     values = _banded_values(v_t)
 
