@@ -272,6 +272,175 @@ def _banded_partitioned(spatial_shapes: Shapes, n_points: int, band: int):
     return _batch_partitioned(impl, NL + 4, 1, factors)
 
 
+def _band_ranges_mp(locs_t, spatial_shapes, nqb, bands):
+    """Union-over-points ranges for the multi-point kernel: per (bh, block,
+    level) [ylo, n_iters] over ALL P points' tap rows ->
+    (BH, nqb*NL*2) int32 scalar-prefetch."""
+    BH = locs_t.shape[0]
+    Q = locs_t.shape[-1]
+    Q_pad = nqb * QBLOCK
+    parts = []
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        band = bands[lvl]
+        pyc = locs_t[:, lvl, :, 1, :] * Hl - 0.5      # (BH, P, Q)
+        y0 = jnp.floor(pyc).astype(jnp.int32)
+        y_lo = jnp.clip(y0, 0, Hl - 1)
+        y_hi = jnp.clip(y0 + 1, 0, Hl - 1)
+        if Q_pad != Q:
+            pad = ((0, 0), (0, 0), (0, Q_pad - Q))
+            y_lo = jnp.pad(y_lo, pad, constant_values=Hl - 1)
+            y_hi = jnp.pad(y_hi, pad)
+        lo = jnp.min(y_lo.reshape(BH, -1, nqb, QBLOCK), axis=(1, 3))
+        hi = jnp.max(y_hi.reshape(BH, -1, nqb, QBLOCK), axis=(1, 3))
+        n_it = (hi - lo) // band + 1                  # (BH, nqb)
+        parts.append(jnp.stack([lo, n_it], axis=-1))  # (BH, nqb, 2)
+    ranges = jnp.stack(parts, axis=2)                 # (BH, nqb, NL, 2)
+    return ranges.reshape(BH, -1).astype(jnp.int32)
+
+
+def _mp_reorder(t, NL, P):
+    """(BH, NL*P, Q_pad) -> (BH, NL, nqb*P*QBLOCK): per (level, q-block),
+    the P points' 128-query rows laid side by side on LANES so the kernel
+    reads one (1, P*128) strip per level."""
+    BH, _, Q_pad = t.shape
+    nqb = Q_pad // QBLOCK
+    t = t.reshape(BH, NL, P, nqb, QBLOCK)
+    t = jnp.transpose(t, (0, 1, 3, 2, 4))
+    return t.reshape(BH, NL, nqb * P * QBLOCK)
+
+
+def _msda_banded_mp_kernel(
+    ranges_ref,   # scalar prefetch (BH*nqb*NL*2,) int32
+    *refs,
+    spatial_shapes: Shapes,
+    bands: Tuple[int, ...],
+    n_points: int,
+):
+    """Multi-point grid (BH, NQB).  refs = [value_l x NL, px, py, wa, out,
+    acc4].  One union-band sweep per (level, block): the P points' relu
+    matrices stand side by side on lanes, so each window costs ONE
+    (band*D, W) @ (W, P*128) dot and band (D, P*128) FMAs; the P point
+    slices fold with P-1 static 128-lane adds at the end."""
+    NL = len(spatial_shapes)
+    values = refs[:NL]
+    px_ref, py_ref, wa_ref, out_ref, acc_ref = refs[NL : NL + 5]
+    D = out_ref.shape[1]
+    P = n_points
+    PQ = P * QBLOCK
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+    rbase = (bh * nqb + qb) * NL * 2
+
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        band = bands[lvl]
+        vref = values[lvl]
+        bf16 = vref.dtype == jnp.bfloat16
+        colpos = jax.lax.broadcasted_iota(
+            jnp.int32, (Wl, PQ), 0
+        ).astype(jnp.float32)
+
+        px = px_ref[0, lvl : lvl + 1, :]      # (1, P*128)
+        py = py_ref[0, lvl : lvl + 1, :]
+        wa = wa_ref[0, lvl : lvl + 1, :]
+        sx = jnp.maximum(1.0 - jnp.abs(px - colpos), 0.0)  # (W, P*128)
+        sx_mm = sx.astype(jnp.bfloat16) if bf16 else sx
+
+        ylo = ranges_ref[rbase + 2 * lvl]
+        n_it = ranges_ref[rbase + 2 * lvl + 1]
+
+        def band_body(bi, _, ylo=ylo, band=band, vref=vref,
+                      sx_mm=sx_mm, py=py, wa=wa):
+            ybase = ylo + bi * band
+            A = vref[0, pl.ds(ybase * D, band * D), :]  # (band*D, W)
+            C = jax.lax.dot_general(
+                A, sx_mm,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=(jax.lax.Precision.DEFAULT if bf16
+                           else jax.lax.Precision.HIGHEST),
+                preferred_element_type=jnp.float32,
+            )  # (band*D, P*128)
+            yb = ybase.astype(jnp.float32)
+            for r in range(band):
+                wy = jnp.maximum(
+                    1.0 - jnp.abs(py - (yb + r)), 0.0
+                ) * wa                                     # (1, P*128)
+                acc_ref[:] = acc_ref[:] + wy * C[r * D : (r + 1) * D, :]
+            return 0
+
+        jax.lax.fori_loop(0, n_it, band_body, 0)
+
+    acc = acc_ref[:]
+    out = acc[:, 0:QBLOCK]
+    for p in range(1, P):
+        out = out + acc[:, p * QBLOCK : (p + 1) * QBLOCK]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _banded_mp_call(values, px_mp, py_mp, wa_mp, ranges, spatial_shapes,
+                    n_points, band):
+    """values: per-level (BH, (H_l+band-1)*D, W_l); px/py/wa in _mp_reorder
+    layout (BH, NL, nqb*P*128) -> out (BH, D, Q_pad)."""
+    NL = len(spatial_shapes)
+    BH = px_mp.shape[0]
+    P = n_points
+    PQ = P * QBLOCK
+    nqb = px_mp.shape[-1] // PQ
+    bands = tuple(min(band, h) for h, w in spatial_shapes)
+    D = values[0].shape[1] // (spatial_shapes[0][0] + bands[0] - 1)
+
+    kernel = functools.partial(
+        _msda_banded_mp_kernel, spatial_shapes=spatial_shapes, bands=bands,
+        n_points=n_points,
+    )
+    interpret = jax.devices()[0].platform != "tpu"
+    in_specs = [
+        pl.BlockSpec((1, (h + b - 1) * D, w), (lambda bh, qb, r: (bh, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for (h, w), b in zip(spatial_shapes, bands)
+    ] + [
+        pl.BlockSpec((1, NL, PQ), lambda bh, qb, r: (bh, 0, qb),
+                     memory_space=pltpu.VMEM)
+        for _ in range(3)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, nqb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, D, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((D, PQ), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (BH, D, nqb * QBLOCK), values[0].dtype
+        ),
+    )(ranges, *values, px_mp, py_mp, wa_mp)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_mp_partitioned(spatial_shapes: Shapes, n_points: int,
+                           band: int):
+    NL = len(spatial_shapes)
+
+    def impl(*args):
+        values = list(args[:NL])
+        px, py, wa, ranges2d = args[NL : NL + 4]
+        return _banded_mp_call(values, px, py, wa, ranges2d.reshape(-1),
+                               spatial_shapes, n_points, band)
+
+    factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
+        ("b", "n", "q"), ("b", "n", "q"), ("b", "n", "q"), ("b", "r"),
+        ("b", "d", "qo"),
+    ]
+    return _batch_partitioned(impl, NL + 4, 1, factors)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
 def _banded_core(
     values,                 # tuple of (BH, H_l*D, W_l) per level
@@ -302,6 +471,20 @@ def _banded_core(
         jnp.pad(v, ((0, 0), (0, (b - 1) * D), (0, 0)))
         for v, b in zip(values, bands)
     )
+    NL = len(spatial_shapes)
+    if bool(int(os.environ.get("MSDA_BANDED_MP", "1"))):
+        px_mp = _mp_reorder(px, NL, n_points)
+        py_mp = _mp_reorder(py, NL, n_points)
+        wa_mp = _mp_reorder(wa, NL, n_points)
+        ranges = _band_ranges_mp(
+            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
+            bands,
+        )
+        out = _banded_mp_partitioned(tuple(spatial_shapes), n_points,
+                                     band)(
+            *values, px_mp, py_mp, wa_mp, ranges
+        )
+        return out[:, :, :Q]
     ranges = _band_ranges(
         locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK, bands
     )

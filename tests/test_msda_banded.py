@@ -148,6 +148,19 @@ def test_banded_module_matches_xla(monkeypatch):
         )
 
 
+def test_banded_multipoint_forward_parity(monkeypatch):
+    """MSDA_BANDED_MP=1: union-band multi-point kernel (one (band*D, W) @
+    (W, P*128) dot per (level, block)) must match the XLA reference."""
+    monkeypatch.setenv("MSDA_BANDED_MP", "1")
+    v_t, locs, attn = _inputs(3)
+    out = jax.jit(
+        lambda vs, l, a: ms_deform_attn_banded(vs, SHAPES, l, a, NP)
+    )(_banded_values(v_t), locs, attn)
+    ref = _xla_ref_dq(v_t, locs, attn)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_banded_sorted_decoder_queries():
     """Decoder-style Q != L: the sorted wrapper must match the XLA
     reference (4-d reference-point style locations already folded in by
