@@ -219,6 +219,9 @@ class DeformableDecoderLayer(nn.Module):
     use_text_cross_attention: bool = True
     msda_impl: str = "auto"
     spatial_shapes: Shapes = ()
+    # decoder stream pre-sorted by reference centers (see _decode) — the
+    # deformable cross-attn skips its per-call query sort
+    presorted_queries: bool = False
 
     @nn.compact
     def __call__(
@@ -247,7 +250,8 @@ class DeformableDecoderLayer(nn.Module):
         # deformable image cross attention
         ca2 = MSDeformAttn(
             self.d_model, self.n_heads, self.n_levels, self.n_points,
-            impl=self.msda_impl, name="cross_attn",
+            impl=self.msda_impl,
+            presorted_queries=self.presorted_queries, name="cross_attn",
         )(
             tgt + query_pos, memory, reference_points, self.spatial_shapes,
             memory_key_padding_mask,
@@ -482,6 +486,42 @@ class Transformer(nn.Module):
         text_pad = ~text_dict["text_token_mask"]
         reference_points = jax.nn.sigmoid(refpoints_unsig)
 
+        # sort the decoder query stream ONCE by initial reference centers
+        # (row-major over the finest level) so every layer's banded
+        # deformable cross-attn runs on spatially-coherent blocks without
+        # its own per-call sort — the per-layer sort gathers the 32x-larger
+        # (BH, NL, P, 2, Q) tap tensors (~4-5 ms/fwd at bench shapes).
+        # Exact: decoder self/text attention is dense and unmasked across
+        # queries, every other op is per-query; all collected outputs are
+        # un-sorted on append.  Refined references drift from the initial
+        # centers, slightly widening late-layer y-ranges — measured
+        # cheaper than re-sorting.
+        import os as _os
+
+        from .deformable import resolve_msda_impl
+
+        sort_once = (
+            resolve_msda_impl(self.msda_impl) == "pallas"
+            and len(shapes) > 1
+            and bool(int(_os.environ.get("MSDA_BANDED", "1")))
+            and bool(int(_os.environ.get("MSDA_DEC_SORT_ONCE", "1")))
+        )
+        if sort_once:
+            H0, W0 = shapes[0]
+            key = (reference_points[..., 1] * (H0 * (W0 + 2))
+                   + reference_points[..., 0] * W0)       # (B, Q)
+            order = jnp.argsort(key, axis=1)
+            inv = jnp.argsort(order, axis=1)
+            tgt = jnp.take_along_axis(tgt, order[..., None], axis=1)
+            reference_points = jnp.take_along_axis(
+                reference_points, order[..., None], axis=1
+            )
+            un = lambda t: jnp.take_along_axis(
+                t, inv.reshape(inv.shape + (1,) * (t.ndim - 2)), axis=1
+            )
+        else:
+            un = lambda t: t
+
         # shared-across-layers modules (instantiated once)
         ref_point_head = MLP(self.d_model, self.d_model, 2, name="ref_point_head")
         bbox_embed = MLP(self.d_model, 4, 3, name="bbox_embed")
@@ -489,7 +529,8 @@ class Transformer(nn.Module):
 
         intermediate = []
         outputs_coord = []
-        ref_points = [reference_points]
+        ref_points = [reference_points]      # sorted-order (head_ref reads)
+        ref_points_out = [un(reference_points)]
 
         output = tgt
         for i in range(self.num_decoder_layers):
@@ -513,6 +554,7 @@ class Transformer(nn.Module):
                 n_points=self.dec_n_points,
                 use_text_cross_attention=self.use_text_cross_attention,
                 msda_impl=self.msda_impl, spatial_shapes=shapes,
+                presorted_queries=sort_once,
                 name=f"dec_layer_{i}",
             )(
                 output, query_pos, ref_input, memory, memory_mask,
@@ -524,11 +566,12 @@ class Transformer(nn.Module):
             new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref_before))
             reference_points = jax.lax.stop_gradient(new_ref)
             ref_points.append(new_ref)
+            ref_points_out.append(un(new_ref))
 
             hs_i = dec_norm(output.astype(jnp.float32))
-            intermediate.append(hs_i)
+            intermediate.append(un(hs_i))
             # prediction head on the normed output with the same shared MLP
             coord = jax.nn.sigmoid(bbox_embed(hs_i) + inverse_sigmoid(head_ref))
-            outputs_coord.append(coord)
+            outputs_coord.append(un(coord))
 
-        return intermediate, outputs_coord, ref_points
+        return intermediate, outputs_coord, ref_points_out

@@ -298,17 +298,6 @@ def _band_ranges_mp(locs_t, spatial_shapes, nqb, bands):
     return ranges.reshape(BH, -1).astype(jnp.int32)
 
 
-def _mp_reorder(t, NL, P):
-    """(BH, NL*P, Q_pad) -> (BH, NL, nqb*P*QBLOCK): per (level, q-block),
-    the P points' 128-query rows laid side by side on LANES so the kernel
-    reads one (1, P*128) strip per level."""
-    BH, _, Q_pad = t.shape
-    nqb = Q_pad // QBLOCK
-    t = t.reshape(BH, NL, P, nqb, QBLOCK)
-    t = jnp.transpose(t, (0, 1, 3, 2, 4))
-    return t.reshape(BH, NL, nqb * P * QBLOCK)
-
-
 def _msda_banded_mp_kernel(
     ranges_ref,   # scalar prefetch (BH*nqb*NL*2,) int32
     *refs,
@@ -318,9 +307,11 @@ def _msda_banded_mp_kernel(
 ):
     """Multi-point grid (BH, NQB).  refs = [value_l x NL, px, py, wa, out,
     acc4].  One union-band sweep per (level, block): the P points' relu
-    matrices stand side by side on lanes, so each window costs ONE
-    (band*D, W) @ (W, P*128) dot and band (D, P*128) FMAs; the P point
-    slices fold with P-1 static 128-lane adds at the end."""
+    matrices stand side by side on lanes (built per point from the
+    original (NL*P, 128) tap rows and lane-concatenated in-register — no
+    XLA-side relayout), so each window costs ONE (band*D, W) @ (W, P*128)
+    dot and band (D, P*128) FMAs; the P point slices fold with P-1 static
+    128-lane adds at the end."""
     NL = len(spatial_shapes)
     values = refs[:NL]
     px_ref, py_ref, wa_ref, out_ref, acc_ref = refs[NL : NL + 5]
@@ -339,13 +330,25 @@ def _msda_banded_mp_kernel(
         vref = values[lvl]
         bf16 = vref.dtype == jnp.bfloat16
         colpos = jax.lax.broadcasted_iota(
-            jnp.int32, (Wl, PQ), 0
+            jnp.int32, (Wl, QBLOCK), 0
         ).astype(jnp.float32)
 
-        px = px_ref[0, lvl : lvl + 1, :]      # (1, P*128)
-        py = py_ref[0, lvl : lvl + 1, :]
-        wa = wa_ref[0, lvl : lvl + 1, :]
-        sx = jnp.maximum(1.0 - jnp.abs(px - colpos), 0.0)  # (W, P*128)
+        ts = [lvl * P + p for p in range(P)]
+        sx = jnp.concatenate(
+            [
+                jnp.maximum(
+                    1.0 - jnp.abs(px_ref[0, t : t + 1, :] - colpos), 0.0
+                )
+                for t in ts
+            ],
+            axis=1,
+        )                                     # (W, P*128)
+        py = jnp.concatenate(
+            [py_ref[0, t : t + 1, :] for t in ts], axis=1
+        )                                     # (1, P*128)
+        wa = jnp.concatenate(
+            [wa_ref[0, t : t + 1, :] for t in ts], axis=1
+        )
         sx_mm = sx.astype(jnp.bfloat16) if bf16 else sx
 
         ylo = ranges_ref[rbase + 2 * lvl]
@@ -379,15 +382,15 @@ def _msda_banded_mp_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _banded_mp_call(values, px_mp, py_mp, wa_mp, ranges, spatial_shapes,
+def _banded_mp_call(values, px, py, wa, ranges, spatial_shapes,
                     n_points, band):
-    """values: per-level (BH, (H_l+band-1)*D, W_l); px/py/wa in _mp_reorder
-    layout (BH, NL, nqb*P*128) -> out (BH, D, Q_pad)."""
+    """values: per-level (BH, (H_l+band-1)*D, W_l); px/py/wa in the
+    ORIGINAL (BH, NL*P, Q_pad) layout -> out (BH, D, Q_pad)."""
     NL = len(spatial_shapes)
-    BH = px_mp.shape[0]
+    BH = px.shape[0]
     P = n_points
     PQ = P * QBLOCK
-    nqb = px_mp.shape[-1] // PQ
+    nqb = px.shape[-1] // QBLOCK
     bands = tuple(min(band, h) for h, w in spatial_shapes)
     D = values[0].shape[1] // (spatial_shapes[0][0] + bands[0] - 1)
 
@@ -401,7 +404,7 @@ def _banded_mp_call(values, px_mp, py_mp, wa_mp, ranges, spatial_shapes,
                      memory_space=pltpu.VMEM)
         for (h, w), b in zip(spatial_shapes, bands)
     ] + [
-        pl.BlockSpec((1, NL, PQ), lambda bh, qb, r: (bh, 0, qb),
+        pl.BlockSpec((1, NL * P, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                      memory_space=pltpu.VMEM)
         for _ in range(3)
     ]
@@ -420,7 +423,7 @@ def _banded_mp_call(values, px_mp, py_mp, wa_mp, ranges, spatial_shapes,
         out_shape=jax.ShapeDtypeStruct(
             (BH, D, nqb * QBLOCK), values[0].dtype
         ),
-    )(ranges, *values, px_mp, py_mp, wa_mp)
+    )(ranges, *values, px, py, wa)
 
 
 @functools.lru_cache(maxsize=None)
@@ -436,7 +439,7 @@ def _banded_mp_partitioned(spatial_shapes: Shapes, n_points: int,
 
     factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
         ("b", "n", "q"), ("b", "n", "q"), ("b", "n", "q"), ("b", "r"),
-        ("b", "d", "qo"),
+        ("b", "d", "q"),
     ]
     return _batch_partitioned(impl, NL + 4, 1, factors)
 
@@ -473,16 +476,13 @@ def _banded_core(
     )
     NL = len(spatial_shapes)
     if bool(int(os.environ.get("MSDA_BANDED_MP", "1"))):
-        px_mp = _mp_reorder(px, NL, n_points)
-        py_mp = _mp_reorder(py, NL, n_points)
-        wa_mp = _mp_reorder(wa, NL, n_points)
         ranges = _band_ranges_mp(
             locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
             bands,
         )
         out = _banded_mp_partitioned(tuple(spatial_shapes), n_points,
                                      band)(
-            *values, px_mp, py_mp, wa_mp, ranges
+            *values, px, py, wa, ranges
         )
         return out[:, :, :Q]
     ranges = _band_ranges(
@@ -683,6 +683,211 @@ def _banded_bwd_partitioned(spatial_shapes: Shapes, n_points: int,
                               in_factors + out_factors)
 
 
+def _msda_banded_mp_bwd_kernel(
+    ranges_ref,   # scalar prefetch (BH*nqb*NL*2,) int32 (union ranges)
+    *refs,
+    spatial_shapes: Shapes,
+    bands: Tuple[int, ...],
+    n_points: int,
+):
+    """Multi-point backward, grid (BH, NQB).  refs = [value_l x NL, px,
+    py, wa, g, gv_l x NL, gpx, gpy, gwa].  Per (level, window): C/Cp via
+    one (band*D, W) @ (W, P*128) dot each; the gV dot contracts the full
+    P*128 lane axis, summing the P points' scatter contributions in one
+    (band*D, P*128) @ (W, P*128)^T pass."""
+    NL = len(spatial_shapes)
+    values = refs[:NL]
+    px_ref, py_ref, wa_ref, g_ref = refs[NL : NL + 4]
+    gv = refs[NL + 4 : NL + 4 + NL]
+    gpx_ref, gpy_ref, gwa_ref = refs[NL + 4 + NL :]
+    D = g_ref.shape[1]
+    P = n_points
+    PQ = P * QBLOCK
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
+
+    @pl.when(qb == 0)
+    def _zero():
+        for r in gv:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    g1 = g_ref[0].astype(jnp.float32)               # (D, 128)
+    g = jnp.concatenate([g1] * P, axis=1)           # (D, P*128)
+    rbase = (bh * nqb + qb) * NL * 2
+
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        band = bands[lvl]
+        vref = values[lvl]
+        gvref = gv[lvl]
+        bf16 = vref.dtype == jnp.bfloat16
+        colpos = jax.lax.broadcasted_iota(
+            jnp.int32, (Wl, QBLOCK), 0
+        ).astype(jnp.float32)
+
+        ts = [lvl * P + p for p in range(P)]
+        sx_parts, sxp_parts = [], []
+        for t in ts:
+            dxc = px_ref[0, t : t + 1, :] - colpos
+            adx = jnp.abs(dxc)
+            sx_parts.append(jnp.maximum(1.0 - adx, 0.0))
+            sxp_parts.append(
+                jnp.where(adx < 1.0, -jnp.sign(dxc), 0.0)
+            )
+        sx = jnp.concatenate(sx_parts, axis=1)      # (W, P*128)
+        sxp = jnp.concatenate(sxp_parts, axis=1)
+        py = jnp.concatenate(
+            [py_ref[0, t : t + 1, :] for t in ts], axis=1
+        )
+        wa = jnp.concatenate(
+            [wa_ref[0, t : t + 1, :] for t in ts], axis=1
+        )
+        if bf16:
+            sx_mm = sx.astype(jnp.bfloat16)
+            sxp_mm = sxp.astype(jnp.bfloat16)
+        else:
+            sx_mm, sxp_mm = sx, sxp
+        prec = (jax.lax.Precision.DEFAULT if bf16
+                else jax.lax.Precision.HIGHEST)
+
+        ylo = ranges_ref[rbase + 2 * lvl]
+        n_it = ranges_ref[rbase + 2 * lvl + 1]
+
+        def band_body(bi, carry, ylo=ylo, band=band, vref=vref,
+                      gvref=gvref, sx_mm=sx_mm, sxp_mm=sxp_mm,
+                      py=py, wa=wa, g=g, prec=prec, D=D):
+            s_wa, s_px, s_py = carry
+            ybase = ylo + bi * band
+            A = vref[0, pl.ds(ybase * D, band * D), :]
+            C = jax.lax.dot_general(
+                A, sx_mm, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )                                       # (band*D, P*128)
+            Cp = jax.lax.dot_general(
+                A, sxp_mm, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )
+            yb = ybase.astype(jnp.float32)
+            b_rows = []
+            for r in range(band):
+                dy = py - (yb + r)
+                ady = jnp.abs(dy)
+                wy = jnp.maximum(1.0 - ady, 0.0)
+                dwy = jnp.where(ady < 1.0, -jnp.sign(dy), 0.0)
+                Cr = C[r * D : (r + 1) * D, :]
+                Cpr = Cp[r * D : (r + 1) * D, :]
+                s_wa = s_wa + wy * Cr
+                s_px = s_px + wy * Cpr
+                s_py = s_py + dwy * Cr
+                b_rows.append((wy * wa) * g)        # (D, P*128)
+            B = jnp.concatenate(b_rows, axis=0)     # (band*D, P*128)
+            if gvref.dtype == jnp.bfloat16:
+                B = B.astype(jnp.bfloat16)
+            gvc = jax.lax.dot_general(
+                B, sx_mm, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )                                       # (band*D, W)
+            sl = pl.ds(ybase * D, band * D)
+            gvref[0, sl, :] = gvref[0, sl, :] + gvc.astype(gvref.dtype)
+            return (s_wa, s_px, s_py)
+
+        zero = jnp.zeros((D, PQ), jnp.float32)
+        s_wa, s_px, s_py = jax.lax.fori_loop(
+            0, n_it, band_body, (zero, zero, zero)
+        )
+        for p in range(P):
+            t = lvl * P + p
+            sl = slice(p * QBLOCK, (p + 1) * QBLOCK)
+            wa_p = wa[:, sl]                        # (1, 128)
+            gwa_ref[0, t : t + 1, :] = jnp.sum(
+                g1 * s_wa[:, sl], axis=0, keepdims=True
+            )
+            gpx_ref[0, t : t + 1, :] = wa_p * jnp.sum(
+                g1 * s_px[:, sl], axis=0, keepdims=True
+            )
+            gpy_ref[0, t : t + 1, :] = wa_p * jnp.sum(
+                g1 * s_py[:, sl], axis=0, keepdims=True
+            )
+
+
+def _banded_mp_bwd_call(values, px, py, wa, g, ranges,
+                        spatial_shapes, n_points, band):
+    """values: per-level (BH, (H_l+band-1)*D, W_l); px/py/wa AND the tap
+    grads all in the ORIGINAL (BH, NL*P, Q_pad) layout; g (BH, D, Q_pad)
+    -> (gv per level f32, gpx, gpy, gwa)."""
+    NL = len(spatial_shapes)
+    BH = px.shape[0]
+    P = n_points
+    PQ = P * QBLOCK
+    nqb = px.shape[-1] // QBLOCK
+    Q_pad = nqb * QBLOCK
+    bands = tuple(min(band, h) for h, w in spatial_shapes)
+    D = g.shape[1]
+
+    kernel = functools.partial(
+        _msda_banded_mp_bwd_kernel, spatial_shapes=spatial_shapes,
+        bands=bands, n_points=n_points,
+    )
+    interpret = jax.devices()[0].platform != "tpu"
+    val_specs = [
+        pl.BlockSpec((1, (h + b - 1) * D, w), (lambda bh, qb, r: (bh, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for (h, w), b in zip(spatial_shapes, bands)
+    ]
+    tap_spec = lambda: pl.BlockSpec(
+        (1, NL * P, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, nqb),
+        in_specs=val_specs + [
+            tap_spec(), tap_spec(), tap_spec(),
+            pl.BlockSpec((1, D, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=val_specs + [tap_spec(), tap_spec(), tap_spec()],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct(((BH,) + v.shape[1:]), jnp.float32)
+        for v in values
+    ] + [
+        jax.ShapeDtypeStruct((BH, NL * P, Q_pad), jnp.float32)
+        for _ in range(3)
+    ]
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+    )(ranges, *values, px, py, wa, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_mp_bwd_partitioned(spatial_shapes: Shapes, n_points: int,
+                               band: int):
+    NL = len(spatial_shapes)
+
+    def impl(*args):
+        values = list(args[:NL])
+        px, py, wa, g, ranges2d = args[NL : NL + 5]
+        return tuple(
+            _banded_mp_bwd_call(values, px, py, wa, g,
+                                ranges2d.reshape(-1), spatial_shapes,
+                                n_points, band)
+        )
+
+    in_factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
+        ("b", "n", "q"), ("b", "n", "q"), ("b", "n", "q"), ("b", "d", "q"),
+        ("b", "r"),
+    ]
+    out_factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
+        ("b", "n", "q"), ("b", "n", "q"), ("b", "n", "q"),
+    ]
+    return _batch_partitioned(impl, NL + 5, NL + 3,
+                              in_factors + out_factors)
+
+
 def _banded_fwd(values, spatial_shapes, locs_t, attn_t, n_points, band):
     out = _banded_core(values, spatial_shapes, locs_t, attn_t, n_points,
                        band)
@@ -719,13 +924,31 @@ def _banded_bwd_native(spatial_shapes, n_points, band, residuals, g):
         jnp.pad(v, ((0, 0), (0, (b - 1) * (v.shape[1] // h)), (0, 0)))
         for v, b, (h, _w) in zip(values, bands, spatial_shapes)
     )
-    ranges = _band_ranges(
-        locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK, bands
-    )
-    outs = _banded_bwd_partitioned(tuple(spatial_shapes), n_points, band)(
-        *values_p, px, py, wa, g, ranges
-    )
     NL = len(spatial_shapes)
+    # MP backward is gated SEPARATELY from the MP forward: its fori carry is
+    # 3 x (D, P*128) f32 ~ 144 vregs, which spills to the kernel stack on
+    # this Mosaic stack (measured 13.4 s/step vs 0.67 s with the
+    # single-point backward — see BENCH_NOTES round-3 trail).
+    if bool(int(os.environ.get("MSDA_BANDED_MP_BWD", "0"))):
+        ranges = _band_ranges_mp(
+            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
+            bands,
+        )
+        outs = _banded_mp_bwd_partitioned(
+            tuple(spatial_shapes), n_points, band
+        )(
+            *values_p, px, py, wa, g, ranges,
+        )
+    else:
+        ranges = _band_ranges(
+            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
+            bands,
+        )
+        outs = _banded_bwd_partitioned(
+            tuple(spatial_shapes), n_points, band
+        )(
+            *values_p, px, py, wa, g, ranges
+        )
     gvs = tuple(
         o[:, : v.shape[1], :].astype(v.dtype)
         for o, v in zip(outs[:NL], values)
