@@ -20,6 +20,32 @@ from .position_encoding import get_sine_pos_embed
 NEG_INF = float("-inf")
 
 
+class LayerNorm(nn.Module):
+    """Drop-in `nn.LayerNorm` (same param names/shapes: scale, bias; same
+    fast-variance f32 math and output promotion) that routes big (B, L, C)
+    streams through the fused Pallas lane-reduction kernel
+    (ops/layernorm_pallas.py) — XLA's native lowering pays an L-minor
+    layout + cross-sublane reduction, ~1 ms per LN on the 20k-token
+    encoder stream at bench shapes."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.layernorm_pallas import fused_layernorm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        shape = x.shape
+        if x.ndim > 3:       # (B, ..., C) -> (B, prod(mid), C)
+            x = x.reshape(shape[0], -1, C)
+        elif x.ndim == 2:
+            x = x[None]
+        y = fused_layernorm(x, scale, bias, self.epsilon)
+        return y.reshape(shape[:-1] + (C,))
+
+
 class MultiHeadAttention(nn.Module):
     """torch.nn.MultiheadAttention-compatible MHA (packed in_proj, out_proj).
 
@@ -203,8 +229,8 @@ class BiAttentionBlock(nn.Module):
     def __call__(self, v, l, attention_mask_v=None, attention_mask_l=None):
         deterministic = self.deterministic
         impl = self.fusion_impl
-        vn = nn.LayerNorm(epsilon=1e-5, name="layer_norm_v")(v)
-        ln = nn.LayerNorm(epsilon=1e-5, name="layer_norm_l")(l)
+        vn = LayerNorm(epsilon=1e-5, name="layer_norm_v")(v)
+        ln = LayerNorm(epsilon=1e-5, name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(
             self.v_dim, self.l_dim, self.embed_dim, self.num_heads,
             impl=impl, name="attn",
@@ -248,11 +274,11 @@ class TextEnhancerLayer(nn.Module):
         attn_out = MultiHeadAttention(self.d_model, self.nhead, name="self_attn")(
             q, q, text, attn_mask=~text_self_attention_masks
         )
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(text + attn_out)
+        x = LayerNorm(epsilon=1e-5, name="norm1")(text + attn_out)
         h = nn.Dense(self.dim_feedforward, name="linear1")(x)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+        return LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 
 class MLP(nn.Module):

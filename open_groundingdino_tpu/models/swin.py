@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .layers import LayerNorm
+
 
 SWIN_VARIANTS = {
     # nano variant for CI/tests only (no published checkpoint)
@@ -172,7 +174,7 @@ class SwinBlock(nn.Module):
         H, W = self.H, self.W
         ws = self.window_size
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(B, H, W, C)
+        x = LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(B, H, W, C)
 
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws
@@ -198,7 +200,7 @@ class SwinBlock(nn.Module):
             x = x[:, :H, :W]
         x = shortcut + x.reshape(B, L, C)
 
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        h = LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = nn.Dense(int(C * self.mlp_ratio), name="fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(C, name="fc2")(h)
@@ -219,7 +221,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(B, -1, 4 * C)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * C, use_bias=False, name="reduction")(x)
 
 
@@ -240,7 +242,7 @@ class SwinTransformer(nn.Module):
         )(images)
         Wh, Ww = x.shape[1], x.shape[2]
         x = x.reshape(B, Wh * Ww, c.embed_dim)
-        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+        x = LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
         outs = []
         block_cls = nn.remat(SwinBlock) if c.use_checkpoint else SwinBlock
@@ -259,7 +261,7 @@ class SwinTransformer(nn.Module):
                     name=f"layer_{i}_block_{b}",
                 )(x)
             if i in c.out_indices:
-                y = nn.LayerNorm(epsilon=1e-5, name=f"out_norm_{i}")(x)
+                y = LayerNorm(epsilon=1e-5, name=f"out_norm_{i}")(x)
                 outs.append(y.reshape(B, Wh, Ww, dim))
             if i < len(c.depths) - 1:
                 x = PatchMerging(dim, name=f"downsample_{i}")(x, Wh, Ww)

@@ -30,6 +30,7 @@ from ..utils.misc import inverse_sigmoid
 from .deformable import MSDeformAttn
 from .layers import (
     BiAttentionBlock,
+    LayerNorm,
     MLP,
     MultiHeadAttention,
     TextEnhancerLayer,
@@ -203,11 +204,16 @@ class DeformableEncoderLayer(nn.Module):
             presorted_queries=True,
             name="self_attn",
         )(src + pos, value, reference_points, self.spatial_shapes, key_padding_mask)
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + src2)
+        # named so the remat policy can SAVE the MSDA kernel output instead
+        # of re-running the deformable kernel during backward (~48 ms of
+        # recompute per train step at bench shapes for ~41 MB x 6 layers)
+        from jax.ad_checkpoint import checkpoint_name as _ckpt_nm
+        src2 = _ckpt_nm(src2, "msda_out")
+        src = LayerNorm(epsilon=1e-5, name="norm1")(src + src2)
         h = nn.Dense(self.d_ffn, name="linear1")(src)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + h)
+        return LayerNorm(epsilon=1e-5, name="norm2")(src + h)
 
 
 class DeformableDecoderLayer(nn.Module):
@@ -237,7 +243,7 @@ class DeformableDecoderLayer(nn.Module):
         # self attention
         q = k = tgt + query_pos
         sa = MultiHeadAttention(self.d_model, self.n_heads, name="self_attn")(q, k, tgt)
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + sa)
+        tgt = LayerNorm(epsilon=1e-5, name="norm2")(tgt + sa)
 
         # text cross attention
         if self.use_text_cross_attention:
@@ -245,7 +251,7 @@ class DeformableDecoderLayer(nn.Module):
                 tgt + query_pos, memory_text, memory_text,
                 key_padding_mask=text_attention_mask,
             )
-            tgt = nn.LayerNorm(epsilon=1e-5, name="catext_norm")(tgt + ca)
+            tgt = LayerNorm(epsilon=1e-5, name="catext_norm")(tgt + ca)
 
         # deformable image cross attention
         ca2 = MSDeformAttn(
@@ -256,14 +262,14 @@ class DeformableDecoderLayer(nn.Module):
             tgt + query_pos, memory, reference_points, self.spatial_shapes,
             memory_key_padding_mask,
         )
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + ca2)
+        tgt = LayerNorm(epsilon=1e-5, name="norm1")(tgt + ca2)
 
         # FFN in fp32 (reference transformer.py:871 forces fp32 under AMP)
         t32 = tgt.astype(jnp.float32)
         h = nn.Dense(self.d_ffn, name="linear1")(t32)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
-        return nn.LayerNorm(epsilon=1e-5, name="norm3")((t32 + h)).astype(tgt.dtype)
+        return LayerNorm(epsilon=1e-5, name="norm3")((t32 + h)).astype(tgt.dtype)
 
 
 class Transformer(nn.Module):
@@ -328,7 +334,7 @@ class Transformer(nn.Module):
             memory, mask_flat, shapes
         )
         output_memory = nn.Dense(C, name="enc_output")(output_memory)
-        output_memory = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")(output_memory)
+        output_memory = LayerNorm(epsilon=1e-5, name="enc_output_norm")(output_memory)
 
         enc_logits = contrastive_embed(
             output_memory, memory_text, text_dict["text_token_mask"],
@@ -373,9 +379,26 @@ class Transformer(nn.Module):
         text_pad = ~text_dict["text_token_mask"]  # True = pad
         reference_points = encoder_reference_points(shapes, valid_ratios)
 
-        fusion_cls = nn.remat(BiAttentionBlock) if self.use_checkpoint else BiAttentionBlock
+        # remat policy: rematerialize everything EXCEPT the named Pallas
+        # kernel outputs — re-running the deformable/fusion kernels in the
+        # backward costs far more than storing their activations.  Default
+        # OFF until the on-chip train A/B lands (the tunnel dropped mid-
+        # measurement); REMAT_SAVE_KERNELS=1 enables it.
+        import os as _os0
+
+        if bool(int(_os0.environ.get("REMAT_SAVE_KERNELS", "0"))):
+            _policy = jax.checkpoint_policies.save_only_these_names(
+                "msda_out", "fusion_attn_out"
+            )
+        else:
+            _policy = None
+        fusion_cls = (
+            nn.remat(BiAttentionBlock, policy=_policy)
+            if self.use_checkpoint
+            else BiAttentionBlock
+        )
         enc_cls = (
-            nn.remat(DeformableEncoderLayer)
+            nn.remat(DeformableEncoderLayer, policy=_policy)
             if self.use_transformer_ckpt
             else DeformableEncoderLayer
         )
@@ -525,7 +548,7 @@ class Transformer(nn.Module):
         # shared-across-layers modules (instantiated once)
         ref_point_head = MLP(self.d_model, self.d_model, 2, name="ref_point_head")
         bbox_embed = MLP(self.d_model, 4, 3, name="bbox_embed")
-        dec_norm = nn.LayerNorm(epsilon=1e-5, name="dec_norm")
+        dec_norm = LayerNorm(epsilon=1e-5, name="dec_norm")
 
         intermediate = []
         outputs_coord = []

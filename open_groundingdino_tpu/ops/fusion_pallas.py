@@ -354,6 +354,16 @@ def _fused_core(q, k, val_v, val_l, mv, ml, num_heads):
 def _fused_core_fwd(q, k, val_v, val_l, mv, ml, num_heads):
     out_v, out_l, ml_max, sl = _fused_fwd_impl(q, k, val_v, val_l, mv, ml,
                                                num_heads)
+    # tag outputs AND softmax stats so the encoder remat policy
+    # (transformer._encode, save_only_these_names("fusion_attn_out", ...))
+    # saves every kernel-produced residual — the rematerialized forward
+    # pallas_call then has no live consumers and DCE removes it from the
+    # backward program
+    from jax.ad_checkpoint import checkpoint_name as _nm
+    out_v = _nm(out_v, "fusion_attn_out")
+    out_l = _nm(out_l, "fusion_attn_out")
+    ml_max = _nm(ml_max, "fusion_attn_out")
+    sl = _nm(sl, "fusion_attn_out")
     return (out_v, out_l), (
         q, k, val_v, val_l, mv, ml, ml_max, sl, out_v, out_l
     )

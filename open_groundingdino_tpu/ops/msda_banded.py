@@ -197,11 +197,16 @@ def _msda_banded_kernel(
                     preferred_element_type=jnp.float32,
                 )  # (band*D, 128)
                 yb = ybase.astype(jnp.float32)
+                # SSA-accumulate the band rows; one scratch RMW per window
+                # (see the MP kernel note)
+                local = None
                 for r in range(band):
                     wy = jnp.maximum(
                         1.0 - jnp.abs(py - (yb + r)), 0.0
                     ) * wa                                     # (1, 128)
-                    acc_ref[:] = acc_ref[:] + wy * C[r * D : (r + 1) * D, :]
+                    term = wy * C[r * D : (r + 1) * D, :]
+                    local = term if local is None else local + term
+                acc_ref[:] = acc_ref[:] + local
                 return 0
 
             jax.lax.fori_loop(0, n_it, band_body, 0)
@@ -366,11 +371,18 @@ def _msda_banded_mp_kernel(
                 preferred_element_type=jnp.float32,
             )  # (band*D, P*128)
             yb = ybase.astype(jnp.float32)
+            # accumulate the band's rows in SSA registers and touch the
+            # scratch ONCE per window: band read-modify-writes of the
+            # (D, P*128) acc (64 vregs each) were the dominant VMEM
+            # round-trip in the window body
+            local = None
             for r in range(band):
                 wy = jnp.maximum(
                     1.0 - jnp.abs(py - (yb + r)), 0.0
                 ) * wa                                     # (1, P*128)
-                acc_ref[:] = acc_ref[:] + wy * C[r * D : (r + 1) * D, :]
+                term = wy * C[r * D : (r + 1) * D, :]
+                local = term if local is None else local + term
+            acc_ref[:] = acc_ref[:] + local
             return 0
 
         jax.lax.fori_loop(0, n_it, band_body, 0)
@@ -691,15 +703,24 @@ def _msda_banded_mp_bwd_kernel(
     n_points: int,
 ):
     """Multi-point backward, grid (BH, NQB).  refs = [value_l x NL, px,
-    py, wa, g, gv_l x NL, gpx, gpy, gwa].  Per (level, window): C/Cp via
-    one (band*D, W) @ (W, P*128) dot each; the gV dot contracts the full
-    P*128 lane axis, summing the P points' scatter contributions in one
-    (band*D, P*128) @ (W, P*128)^T pass."""
+    py, wa, g, gv_l x NL, gpx, gpy, gwa, swa, spx, spy].  Per (level,
+    window): C/Cp via one (band*D, W) @ (W, P*128) dot each; the gV dot
+    contracts the full P*128 lane axis, summing the P points' scatter
+    contributions in one (band*D, P*128) @ (W, P*128)^T pass.
+
+    Register-pressure design (the first MP-bwd attempt spilled at 13.36
+    s/step with 3 x (D, P*128) f32 fori CARRIES): the per-level s_wa/
+    s_px/s_py accumulators live in VMEM scratch (one RMW per window, not
+    per row), and the window body is ordered so the gV pass — whose B
+    matrix needs only wy/wa/g, not C — completes and releases B before
+    C, then Cp, are materialized; peak live vector state stays ~one
+    (band*D, P*128) block plus the running sums."""
     NL = len(spatial_shapes)
     values = refs[:NL]
     px_ref, py_ref, wa_ref, g_ref = refs[NL : NL + 4]
     gv = refs[NL + 4 : NL + 4 + NL]
-    gpx_ref, gpy_ref, gwa_ref = refs[NL + 4 + NL :]
+    gpx_ref, gpy_ref, gwa_ref = refs[NL + 4 + NL : NL + 7 + NL]
+    swa_ref, spx_ref, spy_ref = refs[NL + 7 + NL :]
     D = g_ref.shape[1]
     P = n_points
     PQ = P * QBLOCK
@@ -753,32 +774,20 @@ def _msda_banded_mp_bwd_kernel(
         ylo = ranges_ref[rbase + 2 * lvl]
         n_it = ranges_ref[rbase + 2 * lvl + 1]
 
-        def band_body(bi, carry, ylo=ylo, band=band, vref=vref,
+        swa_ref[:] = jnp.zeros((D, PQ), jnp.float32)
+        spx_ref[:] = jnp.zeros((D, PQ), jnp.float32)
+        spy_ref[:] = jnp.zeros((D, PQ), jnp.float32)
+
+        def band_body(bi, _, ylo=ylo, band=band, vref=vref,
                       gvref=gvref, sx_mm=sx_mm, sxp_mm=sxp_mm,
                       py=py, wa=wa, g=g, prec=prec, D=D):
-            s_wa, s_px, s_py = carry
             ybase = ylo + bi * band
-            A = vref[0, pl.ds(ybase * D, band * D), :]
-            C = jax.lax.dot_general(
-                A, sx_mm, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32,
-            )                                       # (band*D, P*128)
-            Cp = jax.lax.dot_general(
-                A, sxp_mm, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32,
-            )
             yb = ybase.astype(jnp.float32)
+            # pass 1 — gV: B needs only wy/wa/g, so it is built, used and
+            # released before C/Cp exist
             b_rows = []
             for r in range(band):
-                dy = py - (yb + r)
-                ady = jnp.abs(dy)
-                wy = jnp.maximum(1.0 - ady, 0.0)
-                dwy = jnp.where(ady < 1.0, -jnp.sign(dy), 0.0)
-                Cr = C[r * D : (r + 1) * D, :]
-                Cpr = Cp[r * D : (r + 1) * D, :]
-                s_wa = s_wa + wy * Cr
-                s_px = s_px + wy * Cpr
-                s_py = s_py + dwy * Cr
+                wy = jnp.maximum(1.0 - jnp.abs(py - (yb + r)), 0.0)
                 b_rows.append((wy * wa) * g)        # (D, P*128)
             B = jnp.concatenate(b_rows, axis=0)     # (band*D, P*128)
             if gvref.dtype == jnp.bfloat16:
@@ -787,14 +796,43 @@ def _msda_banded_mp_bwd_kernel(
                 B, sx_mm, dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=prec, preferred_element_type=jnp.float32,
             )                                       # (band*D, W)
+            A = vref[0, pl.ds(ybase * D, band * D), :]
             sl = pl.ds(ybase * D, band * D)
             gvref[0, sl, :] = gvref[0, sl, :] + gvc.astype(gvref.dtype)
-            return (s_wa, s_px, s_py)
+            # pass 2 — C terms (s_wa, s_py)
+            C = jax.lax.dot_general(
+                A, sx_mm, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )                                       # (band*D, P*128)
+            l_wa = None
+            l_py = None
+            for r in range(band):
+                dy = py - (yb + r)
+                ady = jnp.abs(dy)
+                wy = jnp.maximum(1.0 - ady, 0.0)
+                dwy = jnp.where(ady < 1.0, -jnp.sign(dy), 0.0)
+                Cr = C[r * D : (r + 1) * D, :]
+                l_wa = wy * Cr if l_wa is None else l_wa + wy * Cr
+                l_py = dwy * Cr if l_py is None else l_py + dwy * Cr
+            swa_ref[:] = swa_ref[:] + l_wa
+            spy_ref[:] = spy_ref[:] + l_py
+            # pass 3 — Cp term (s_px)
+            Cp = jax.lax.dot_general(
+                A, sxp_mm, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )
+            l_px = None
+            for r in range(band):
+                wy = jnp.maximum(1.0 - jnp.abs(py - (yb + r)), 0.0)
+                Cpr = Cp[r * D : (r + 1) * D, :]
+                l_px = wy * Cpr if l_px is None else l_px + wy * Cpr
+            spx_ref[:] = spx_ref[:] + l_px
+            return 0
 
-        zero = jnp.zeros((D, PQ), jnp.float32)
-        s_wa, s_px, s_py = jax.lax.fori_loop(
-            0, n_it, band_body, (zero, zero, zero)
-        )
+        jax.lax.fori_loop(0, n_it, band_body, 0)
+        s_wa = swa_ref[:]
+        s_px = spx_ref[:]
+        s_py = spy_ref[:]
         for p in range(P):
             t = lvl * P + p
             sl = slice(p * QBLOCK, (p + 1) * QBLOCK)
@@ -847,6 +885,8 @@ def _banded_mp_bwd_call(values, px, py, wa, g, ranges,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=val_specs + [tap_spec(), tap_spec(), tap_spec()],
+        scratch_shapes=[pltpu.VMEM((D, PQ), jnp.float32)
+                        for _ in range(3)],
     )
     out_shape = [
         jax.ShapeDtypeStruct(((BH,) + v.shape[1:]), jnp.float32)
@@ -925,10 +965,12 @@ def _banded_bwd_native(spatial_shapes, n_points, band, residuals, g):
         for v, b, (h, _w) in zip(values, bands, spatial_shapes)
     )
     NL = len(spatial_shapes)
-    # MP backward is gated SEPARATELY from the MP forward: its fori carry is
-    # 3 x (D, P*128) f32 ~ 144 vregs, which spills to the kernel stack on
-    # this Mosaic stack (measured 13.4 s/step vs 0.67 s with the
-    # single-point backward — see BENCH_NOTES round-3 trail).
+    # MP backward is gated SEPARATELY from the MP forward.  The first MP-bwd
+    # attempt spilled (fori carry 3 x (D, P*128) f32; 13.4 s/step vs 0.67 —
+    # BENCH_NOTES round-3 trail); the kernel now accumulates via VMEM
+    # scratch refs with a staged B -> C -> Cp window body to bound live
+    # vregs.  Flip the default once the restructure measures faster than
+    # the single-point backward on chip.
     if bool(int(os.environ.get("MSDA_BANDED_MP_BWD", "0"))):
         ranges = _band_ranges_mp(
             locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,

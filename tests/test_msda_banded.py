@@ -102,6 +102,47 @@ def test_banded_grads_parity(bwd, monkeypatch):
         )
 
 
+def test_banded_multipoint_grads_parity(monkeypatch):
+    """MSDA_BANDED_MP_BWD=1: the union-band multi-point BACKWARD kernel
+    (scratch-ref accumulators, staged B -> C -> Cp window body) must match
+    the XLA reference grads."""
+    monkeypatch.setenv("MSDA_BANDED_MP", "1")
+    monkeypatch.setenv("MSDA_BANDED_MP_BWD", "1")
+    v_t, locs, attn = _inputs(7)
+    values = _banded_values(v_t)
+
+    def loss_b(vs, l, a):
+        return jnp.sum(jnp.sin(ms_deform_attn_banded(vs, SHAPES, l, a, NP)))
+
+    def loss_x(v, l, a):
+        return jnp.sum(jnp.sin(_xla_ref_dq(v, l, a)))
+
+    gb = jax.jit(jax.grad(loss_b, argnums=(0, 1, 2)))(
+        values, jnp.asarray(locs), jnp.asarray(attn)
+    )
+    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))(
+        jnp.asarray(v_t), jnp.asarray(locs), jnp.asarray(attn)
+    )
+    start = 0
+    for i, (h, w) in enumerate(SHAPES):
+        gr = (
+            np.asarray(gx[0][:, :, start : start + h * w])
+            .reshape(B * H, D, h, w)
+            .transpose(0, 2, 1, 3)
+            .reshape(B * H, h * D, w)
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb[0][i]), gr, rtol=5e-4, atol=5e-4,
+            err_msg=f"grad_value level {i}",
+        )
+        start += h * w
+    for i, name in ((1, "locs"), (2, "attn")):
+        np.testing.assert_allclose(
+            np.asarray(gb[i]), np.asarray(gx[i]), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad_{name}",
+        )
+
+
 def test_banded_module_matches_xla(monkeypatch):
     """Full MSDeformAttn with MSDA_BANDED=1 (projections + kernel + VJP +
     masks) vs impl='xla' — forward and all parameter grads."""
