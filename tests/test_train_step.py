@@ -143,6 +143,56 @@ def test_remat_droppath_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_remat_save_kernels_grad_parity(monkeypatch):
+    """REMAT_SAVE_KERNELS=1 swaps the remat policy to
+    save_only_these_names("msda_out", "fusion_attn_out") so the backward
+    reuses stored kernel outputs instead of re-running the forwards — a
+    scheduling change only.  One train step must produce the same params
+    as the default everything-rematerialized policy."""
+    mesh = make_mesh()
+
+    def run(env):
+        monkeypatch.setenv("REMAT_SAVE_KERNELS", env)
+        model = GroundingDINO(
+            swin_cfg=SwinConfig(
+                embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 4),
+                window_size=4, out_indices=(1, 2, 3),
+            ),
+            bert_cfg=BertConfig(
+                vocab_size=40, hidden_size=32, num_hidden_layers=1,
+                num_attention_heads=4, intermediate_size=32,
+                max_position_embeddings=32, hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0,
+            ),
+            hidden_dim=32, num_queries=QN, nheads=4, num_feature_levels=4,
+            enc_layers=1, dec_layers=2, dim_feedforward=64, max_text_len=T,
+            use_checkpoint=True, use_transformer_ckpt=True,
+        )
+        batch = _batch(7)
+        init_batch = {
+            k: v for k, v in batch.items()
+            if k not in ("gt_boxes", "gt_pos_maps", "gt_valid")
+        }
+        params = jax.jit(model.init)(jax.random.PRNGKey(7), **init_batch)["params"]
+        tx = make_optimizer(params, lr=1e-3, lr_backbone=1e-4)
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_train_step(model, SetCriterion(num_queries=QN)))
+        new_state, metrics = step(state, shard_batch(batch, mesh))
+        assert np.isfinite(float(metrics["loss"]))
+        return new_state.params
+
+    p0 = run("0")
+    p1 = run("1")
+    for path, a in jax.tree_util.tree_leaves_with_path(p0):
+        b = p1
+        for k in path:
+            b = b[k.key]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_nonfinite_step_skips_update():
     """Per-step device-side NaN guard (reference engine_multi.py:544-547):
     a batch that produces a non-finite loss must leave params/opt_state
