@@ -175,7 +175,8 @@ def main():
     jargs = {k: jnp.asarray(v) for k, v in inputs.items()}
     for _ in range(args.warmup):
         out = jitted(params, **jargs)
-    float(out[2])
+    if args.warmup:
+        float(out[2])  # fence warmup before the timed loop
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = jitted(params, **jargs)
