@@ -194,6 +194,127 @@ def convert_groundingdino_checkpoint(
     return p
 
 
+def export_groundingdino_checkpoint(params: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of convert_groundingdino_checkpoint: map this framework's
+    parameter tree back to a reference-named torch-layout state_dict, so
+    TPU-trained weights can be loaded by the upstream PyTorch code (its
+    tools load with `strict=False` after clean_state_dict — reference
+    tools/inference_on_a_image.py:84-87 — so buffers the reference
+    recomputes, e.g. Swin relative_position_index and the frozen BERT
+    pooler, are legitimately absent here).
+
+    The shared decoder box head is emitted under every alias the reference
+    model registers (`bbox_embed.{i}` and `transformer.decoder.bbox_embed.{i}`
+    for all layers — groundingdino.py:173-182 shares one MLP), so the
+    export loads cleanly whichever alias downstream code indexes.  Layer
+    counts / depths / out_indices are derived from the tree itself."""
+    from . import torch_convert as tc
+
+    sd: Dict[str, np.ndarray] = {}
+
+    sd.update(tc.export_bert_state_dict(params["bert"], prefix="bert."))
+    tc.rlinear(sd, "feat_map", params["feat_map"])
+
+    bb = params["backbone"]
+    if "patch_embed" in bb:
+        sd.update(tc.export_swin_state_dict(bb, prefix="backbone.0."))
+    else:
+        sd.update(tc.export_resnet_state_dict(bb, prefix="backbone.0.body."))
+
+    for name in sorted(k for k in params if k.startswith("input_proj_")):
+        l = name.split("_")[2]
+        if name.endswith("_conv"):
+            tc.rconv2d(sd, f"input_proj.{l}.0", params[name])
+        else:
+            sd[f"input_proj.{l}.1.weight"] = np.asarray(params[name]["scale"])
+            sd[f"input_proj.{l}.1.bias"] = np.asarray(params[name]["bias"])
+
+    t = params["transformer"]
+    sd["transformer.level_embed"] = np.asarray(t["level_embed"])
+    sd["transformer.tgt_embed.weight"] = np.asarray(t["tgt_embed"])
+    tc.rlinear(sd, "transformer.enc_output", t["enc_output"])
+    tc.rlayernorm(sd, "transformer.enc_output_norm", t["enc_output_norm"])
+
+    def mha(prefix, tree):
+        sd[f"{prefix}.in_proj_weight"] = np.asarray(tree["in_proj_weight"])
+        sd[f"{prefix}.in_proj_bias"] = np.asarray(tree["in_proj_bias"])
+        tc.rlinear(sd, f"{prefix}.out_proj", tree["out_proj"])
+
+    def msdeform(prefix, tree):
+        for k in ("value_proj", "sampling_offsets", "attention_weights",
+                  "output_proj"):
+            tc.rlinear(sd, f"{prefix}.{k}", tree[k])
+
+    def mlp(prefix, tree):
+        for name, sub in tree.items():
+            tc.rlinear(sd, f"{prefix}.layers.{name.split('_')[-1]}", sub)
+
+    enc_ids = sorted(
+        int(k.split("_")[-1]) for k in t if k.startswith("enc_layer_")
+    )
+    for i in enc_ids:
+        e = t[f"enc_layer_{i}"]
+        pre = f"transformer.encoder.layers.{i}"
+        msdeform(f"{pre}.self_attn", e["self_attn"])
+        for n in ("norm1", "norm2"):
+            tc.rlayernorm(sd, f"{pre}.{n}", e[n])
+        for n in ("linear1", "linear2"):
+            tc.rlinear(sd, f"{pre}.{n}", e[n])
+        f = t[f"fusion_{i}"]
+        fpre = f"transformer.encoder.fusion_layers.{i}"
+        tc.rlayernorm(sd, f"{fpre}.layer_norm_v", f["layer_norm_v"])
+        tc.rlayernorm(sd, f"{fpre}.layer_norm_l", f["layer_norm_l"])
+        sd[f"{fpre}.gamma_v"] = np.asarray(f["gamma_v"])
+        sd[f"{fpre}.gamma_l"] = np.asarray(f["gamma_l"])
+        for k in ("v_proj", "l_proj", "values_v_proj", "values_l_proj",
+                  "out_v_proj", "out_l_proj"):
+            tc.rlinear(sd, f"{fpre}.attn.{k}", f["attn"][k])
+        tl = t[f"text_layer_{i}"]
+        tpre = f"transformer.encoder.text_layers.{i}"
+        mha(f"{tpre}.self_attn", tl["self_attn"])
+        for n in ("linear1", "linear2"):
+            tc.rlinear(sd, f"{tpre}.{n}", tl[n])
+        for n in ("norm1", "norm2"):
+            tc.rlayernorm(sd, f"{tpre}.{n}", tl[n])
+
+    dec_ids = sorted(
+        int(k.split("_")[-1]) for k in t if k.startswith("dec_layer_")
+    )
+    for i in dec_ids:
+        d = t[f"dec_layer_{i}"]
+        pre = f"transformer.decoder.layers.{i}"
+        msdeform(f"{pre}.cross_attn", d["cross_attn"])
+        mha(f"{pre}.ca_text", d["ca_text"])
+        mha(f"{pre}.self_attn", d["self_attn"])
+        for n in ("norm1", "catext_norm", "norm2", "norm3"):
+            tc.rlayernorm(sd, f"{pre}.{n}", d[n])
+        for n in ("linear1", "linear2"):
+            tc.rlinear(sd, f"{pre}.{n}", d[n])
+
+    mlp("transformer.decoder.ref_point_head", t["ref_point_head"])
+    tc.rlayernorm(sd, "transformer.decoder.norm", t["dec_norm"])
+    # shared decoder box head: every alias the reference registers
+    for i in dec_ids:
+        mlp(f"bbox_embed.{i}", t["bbox_embed"])
+        mlp(f"transformer.decoder.bbox_embed.{i}", t["bbox_embed"])
+    mlp("transformer.enc_out_bbox_embed", t["enc_out_bbox_embed"])
+    return sd
+
+
+def save_torch_checkpoint(path: str, params: Dict, **meta) -> None:
+    """Write params as a reference-compatible torch .pth:
+    {"model": state_dict, **meta} — the container format the reference's
+    loaders unwrap (main.py resume + tools).  Round-trips through
+    load_torch_state_dict / convert_groundingdino_checkpoint."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_groundingdino_checkpoint(jax.device_get(params)).items()
+    }
+    torch.save({"model": sd, **meta}, path)
+
+
 def convert_with_ignore(
     sd: Dict[str, np.ndarray],
     ignore_keywords,

@@ -121,6 +121,114 @@ def convert_resnet_state_dict(sd: Dict[str, np.ndarray], depths) -> Dict:
     return p
 
 
+# ---------------------------------------------------------------------------
+# Reverse direction: JAX pytree -> torch-layout state_dict entries.
+# Exact inverses of the loaders above, so export(convert(sd)) == sd on every
+# key the converter reads and convert(export(params)) == params leaf-for-leaf.
+# ---------------------------------------------------------------------------
+
+def rlinear(sd: Dict, key: str, tree: Dict) -> None:
+    sd[f"{key}.weight"] = np.asarray(tree["kernel"]).T
+    if "bias" in tree:
+        sd[f"{key}.bias"] = np.asarray(tree["bias"])
+
+
+def rlayernorm(sd: Dict, key: str, tree: Dict) -> None:
+    sd[f"{key}.weight"] = np.asarray(tree["scale"])
+    sd[f"{key}.bias"] = np.asarray(tree["bias"])
+
+
+def rembedding(sd: Dict, key: str, tree: Dict) -> None:
+    sd[f"{key}.weight"] = np.asarray(tree["embedding"])
+
+
+def rconv2d(sd: Dict, key: str, tree: Dict) -> None:
+    sd[f"{key}.weight"] = np.asarray(tree["kernel"]).transpose(3, 2, 0, 1)
+    if "bias" in tree:
+        sd[f"{key}.bias"] = np.asarray(tree["bias"])
+
+
+def rfrozen_bn(sd: Dict, key: str, tree: Dict) -> None:
+    for name in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"{key}.{name}"] = np.asarray(tree[name])
+
+
+def export_swin_state_dict(p: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """models/swin.SwinTransformer params -> Swin torch keys (inverse of
+    convert_swin_state_dict; depths/out_indices derived from the tree)."""
+    sd: Dict[str, np.ndarray] = {}
+    rconv2d(sd, f"{prefix}patch_embed.proj", p["patch_embed"])
+    rlayernorm(sd, f"{prefix}patch_embed.norm", p["patch_norm"])
+    for name in sorted(k for k in p if k.startswith("layer_")):
+        _, i, _, b = name.split("_")
+        pre = f"{prefix}layers.{i}.blocks.{b}"
+        blk = p[name]
+        rlayernorm(sd, f"{pre}.norm1", blk["norm1"])
+        sd[f"{pre}.attn.relative_position_bias_table"] = np.asarray(
+            blk["attn"]["relative_position_bias_table"]
+        )
+        rlinear(sd, f"{pre}.attn.qkv", blk["attn"]["qkv"])
+        rlinear(sd, f"{pre}.attn.proj", blk["attn"]["proj"])
+        rlayernorm(sd, f"{pre}.norm2", blk["norm2"])
+        rlinear(sd, f"{pre}.mlp.fc1", blk["fc1"])
+        rlinear(sd, f"{pre}.mlp.fc2", blk["fc2"])
+    for name in sorted(k for k in p if k.startswith("downsample_")):
+        i = name.split("_")[-1]
+        rlayernorm(sd, f"{prefix}layers.{i}.downsample.norm", p[name]["norm"])
+        sd[f"{prefix}layers.{i}.downsample.reduction.weight"] = np.asarray(
+            p[name]["reduction"]["kernel"]
+        ).T
+    for name in sorted(k for k in p if k.startswith("out_norm_")):
+        i = name.split("_")[-1]
+        rlayernorm(sd, f"{prefix}norm{i}", p[name])
+    return sd
+
+
+def export_resnet_state_dict(p: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """models/resnet.ResNet params -> torchvision ResNet torch keys
+    (inverse of convert_resnet_state_dict)."""
+    sd: Dict[str, np.ndarray] = {}
+    rconv2d(sd, f"{prefix}conv1", p["conv1"])
+    rfrozen_bn(sd, f"{prefix}bn1", p["frozen_bn1"])
+    for name in sorted(k for k in p if k.startswith("layer")):
+        stage, b = name.split("_block")
+        pre = f"{prefix}{stage}.{b}"
+        blk = p[name]
+        for j in (1, 2, 3):
+            rconv2d(sd, f"{pre}.conv{j}", blk[f"conv{j}"])
+            rfrozen_bn(sd, f"{pre}.bn{j}", blk[f"frozen_bn{j}"])
+        if "downsample_conv" in blk:
+            rconv2d(sd, f"{pre}.downsample.0", blk["downsample_conv"])
+            rfrozen_bn(sd, f"{pre}.downsample.1", blk["downsample_frozen_bn"])
+    return sd
+
+
+def export_bert_state_dict(p: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """models/bert.BertModel params -> HF BertModel torch keys (inverse of
+    convert_bert_state_dict)."""
+    sd: Dict[str, np.ndarray] = {}
+    e = p["embeddings"]
+    rembedding(sd, f"{prefix}embeddings.word_embeddings", e["word_embeddings"])
+    rembedding(sd, f"{prefix}embeddings.position_embeddings",
+               e["position_embeddings"])
+    rembedding(sd, f"{prefix}embeddings.token_type_embeddings",
+               e["token_type_embeddings"])
+    rlayernorm(sd, f"{prefix}embeddings.LayerNorm", e["ln"])
+    for name in sorted(k for k in p if k.startswith("layer_")):
+        i = name.split("_")[-1]
+        l = p[name]
+        pre = f"{prefix}encoder.layer.{i}"
+        rlinear(sd, f"{pre}.attention.self.query", l["q"])
+        rlinear(sd, f"{pre}.attention.self.key", l["k"])
+        rlinear(sd, f"{pre}.attention.self.value", l["v"])
+        rlinear(sd, f"{pre}.attention.output.dense", l["attn_out"])
+        rlayernorm(sd, f"{pre}.attention.output.LayerNorm", l["attn_ln"])
+        rlinear(sd, f"{pre}.intermediate.dense", l["inter"])
+        rlinear(sd, f"{pre}.output.dense", l["out"])
+        rlayernorm(sd, f"{pre}.output.LayerNorm", l["out_ln"])
+    return sd
+
+
 def convert_bert_state_dict(sd: Dict[str, np.ndarray], num_layers: int = 12) -> Dict:
     """HF BertModel state_dict (keys like 'embeddings.word_embeddings.weight',
     'encoder.layer.0.attention.self.query.weight') -> models/bert.BertModel

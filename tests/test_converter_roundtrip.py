@@ -1,6 +1,9 @@
 """Full-checkpoint converter: a synthetic torch-layout state_dict with the
 reference module key names must convert to a tree that exactly matches the
-flax init tree (names + shapes) and run."""
+flax init tree (names + shapes) and run.  The reverse exporter
+(export_groundingdino_checkpoint) must invert it leaf-for-leaf, including
+the reference's shared-box-head key aliases and the .pth container
+roundtrip."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,7 +11,12 @@ import numpy as np
 from open_groundingdino_tpu.models.bert import BertConfig
 from open_groundingdino_tpu.models.groundingdino import GroundingDINO
 from open_groundingdino_tpu.models.swin import SwinConfig
-from open_groundingdino_tpu.utils.checkpoint import convert_groundingdino_checkpoint
+from open_groundingdino_tpu.utils.checkpoint import (
+    convert_groundingdino_checkpoint,
+    export_groundingdino_checkpoint,
+    load_torch_state_dict,
+    save_torch_checkpoint,
+)
 
 T, QN = 16, 12
 SWIN = SwinConfig(
@@ -211,3 +219,63 @@ def test_converter_roundtrip():
 
     out = model.apply({"params": converted}, **inputs)
     assert out["pred_logits"].shape == (B, QN, T)
+
+
+def _init_params():
+    model = _model()
+    rng = np.random.RandomState(0)
+    inputs = dict(
+        images=jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32)),
+        image_sizes=jnp.full((1, 2), 32, jnp.int32),
+        input_ids=jnp.asarray(rng.randint(5, 40, (1, T)), jnp.int32),
+        text_token_mask=jnp.ones((1, T), bool),
+        position_ids=jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (1, 1)),
+        text_self_attention_masks=jnp.ones((1, T, T), bool),
+    )
+    return model.init(jax.random.PRNGKey(0), **inputs)["params"]
+
+
+def test_export_convert_identity(tmp_path):
+    """convert(export(params)) must equal params leaf-for-leaf, the export
+    must emit the helper's exact torch key/value set plus the reference's
+    shared-box-head aliases, and the .pth container must roundtrip through
+    load_torch_state_dict."""
+    init = _init_params()
+    sd = export_groundingdino_checkpoint(jax.device_get(init))
+
+    # exporter ⊇ the hand-written reverse map used by the converter test
+    manual = _torch_layout_state_dict(init)
+    missing = set(manual) - set(sd)
+    assert not missing, sorted(missing)[:5]
+    for k, v in manual.items():
+        np.testing.assert_array_equal(sd[k], v, err_msg=k)
+
+    # shared decoder box head emitted under every reference alias
+    for i in range(2):  # dec_layers
+        for j in range(3):
+            assert f"bbox_embed.{i}.layers.{j}.weight" in sd
+            assert f"transformer.decoder.bbox_embed.{i}.layers.{j}.weight" in sd
+    np.testing.assert_array_equal(
+        sd["bbox_embed.1.layers.0.weight"], sd["bbox_embed.0.layers.0.weight"]
+    )
+
+    converted = convert_groundingdino_checkpoint(
+        sd, swin_depths=SWIN.depths, out_indices=SWIN.out_indices,
+        num_feature_levels=4, enc_layers=2, dec_layers=2,
+        bert_layers=BERT.num_hidden_layers,
+    )
+    for kp, v in jax.tree_util.tree_flatten_with_path(jax.device_get(init))[0]:
+        got = converted
+        for k in kp:
+            got = got[k.key]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(v),
+                                      err_msg=str(kp))
+
+    # .pth container roundtrip (the format the reference loaders unwrap)
+    pth = str(tmp_path / "export.pth")
+    save_torch_checkpoint(pth, init, epoch=3)
+    loaded = load_torch_state_dict(pth)
+    assert set(loaded) == set(sd)
+    np.testing.assert_allclose(
+        loaded["transformer.level_embed"], sd["transformer.level_embed"]
+    )

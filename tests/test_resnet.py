@@ -198,3 +198,24 @@ def test_resnet_in_groundingdino_and_freeze_policy():
         elif "backbone" in path:  # trainable trunk params must move
             assert np.any(np.asarray(u)), path
     assert n_frozen > 0
+
+
+def test_resnet_export_roundtrip():
+    """export_resnet_state_dict inverts convert_resnet_state_dict exactly
+    (every torchvision key except the dropped num_batches_tracked)."""
+    from open_groundingdino_tpu.utils.torch_convert import (
+        export_resnet_state_dict,
+    )
+
+    depths = (1, 1, 1, 1)
+    trunk = TorchTrunk(depths, base=8).eval()
+    _randomize_bn(trunk)
+    sd = {
+        k: v.numpy() for k, v in trunk.state_dict().items()
+        if "num_batches_tracked" not in k
+    }
+    params = convert_resnet_state_dict(sd, depths)
+    back = export_resnet_state_dict(params)
+    assert set(back) == set(sd)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(back[k], v, err_msg=k)
