@@ -281,10 +281,22 @@ def main(cli):
     start_epoch = 0
     resume_path = cli.resume or ckpt_utils.latest_checkpoint(cli.output_dir)
     if resume_path:
-        restored = ckpt_utils.restore_checkpoint(
-            resume_path, {"state": jax.device_get(state), "epoch": 0}
-        )
-        state = restored["state"]
+        try:
+            restored = ckpt_utils.restore_checkpoint(
+                resume_path, {"state": jax.device_get(state), "epoch": 0}
+            )
+            state = restored["state"]
+        except Exception:
+            # checkpoints written before TrainState grew nonfinite_count
+            # lack that leaf; restore against the legacy structure and
+            # reinitialize the counter
+            legacy = jax.device_get(state).replace(nonfinite_count=None)
+            restored = ckpt_utils.restore_checkpoint(
+                resume_path, {"state": legacy, "epoch": 0}
+            )
+            state = restored["state"].replace(
+                nonfinite_count=jnp.zeros((), jnp.int32)
+            )
         start_epoch = int(restored["epoch"]) + 1
         logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
 

@@ -19,7 +19,7 @@ from typing import Dict, List, Optional
 import numpy as np
 from PIL import Image
 
-from .transforms import Sample
+from .transforms import Sample, _takes_rng
 
 
 class CocoIndex:
@@ -55,8 +55,11 @@ class CocoDetection:
     """Iterable of Sample objects with labels as *contiguous* category
     indices (0..n_cats-1) so captions/positive maps line up."""
 
-    def __init__(self, img_folder: str, ann_file: str, transform=None):
+    def __init__(self, img_folder: str, ann_file: str, transform=None,
+                 seed: int = 0):
         self.root = img_folder
+        self.seed = seed
+        self._transform_takes_rng = _takes_rng(transform)
         self.coco = CocoIndex(ann_file)
         self.ids = self.coco.get_img_ids()
         cat_ids = self.coco.get_cat_ids()
@@ -100,5 +103,12 @@ class CocoDetection:
             cap_list=self.cat_list,
         )
         if self.transform is not None:
-            sample = self.transform(sample)
+            if self._transform_takes_rng:
+                import random
+
+                sample = self.transform(
+                    sample, rng=random.Random(self.seed * 0x9E3779B1 + idx)
+                )
+            else:
+                sample = self.transform(sample)
         return sample

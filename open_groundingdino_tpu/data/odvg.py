@@ -19,7 +19,7 @@ from typing import List, Optional
 import numpy as np
 from PIL import Image
 
-from .transforms import Sample
+from .transforms import Sample, _takes_rng
 
 
 class ODVGDataset:
@@ -37,7 +37,9 @@ class ODVGDataset:
         self.dataset_mode = "OD" if label_map_anno else "VG"
         self.max_labels = max_labels
         self.transform = transform
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.rng = random.Random(seed)  # legacy; per-index RNG used below
+        self._transform_takes_rng = _takes_rng(transform)
         if label_map_anno:
             with open(label_map_anno) as f:
                 self.label_map = json.load(f)  # {id_str: name}
@@ -51,6 +53,10 @@ class ODVGDataset:
         return min(n, self.max_images) if self.max_images else n
 
     def __getitem__(self, index: int) -> Sample:
+        # per-index RNG: sampling is a pure function of (seed, index) (int-mixed — 3.12 Random rejects tuples), so
+        # seeded runs reproduce exactly regardless of loader-thread
+        # interleaving (the torch DataLoader per-worker-seed analog)
+        r = random.Random(self.seed * 0x9E3779B1 + index)
         meta = self.metas[index]
         abs_path = os.path.join(self.root, meta["filename"])
         image = Image.open(abs_path).convert("RGB")
@@ -66,10 +72,10 @@ class ODVGDataset:
             vg_labels = list(pos_labels)
             num_to_add = min(len(neg_labels), self.max_labels - len(vg_labels))
             if num_to_add > 0:
-                vg_labels.extend(self.rng.sample(sorted(neg_labels), num_to_add))
+                vg_labels.extend(r.sample(sorted(neg_labels), num_to_add))
             # Fisher-Yates shuffle (reference odvg.py:100-103)
             for i in range(len(vg_labels) - 1, 0, -1):
-                j = self.rng.randint(0, i)
+                j = r.randint(0, i)
                 vg_labels[i], vg_labels[j] = vg_labels[j], vg_labels[i]
 
             cap_list = [self.label_map[lb] for lb in vg_labels]
@@ -78,7 +84,7 @@ class ODVGDataset:
         else:
             regions = meta["grounding"]["regions"]
             pairs = [(obj["bbox"], obj["phrase"]) for obj in regions]
-            self.rng.shuffle(pairs)
+            r.shuffle(pairs)
             boxes = [b for b, _ in pairs]
             phrases = [p for _, p in pairs]
             cap_list = list(dict.fromkeys(phrases))  # dedup, stable
@@ -96,7 +102,8 @@ class ODVGDataset:
             cap_list=cap_list,
         )
         if self.transform is not None:
-            sample = self.transform(sample)
+            sample = (self.transform(sample, rng=r)
+                      if self._transform_takes_rng else self.transform(sample))
         return sample
 
 

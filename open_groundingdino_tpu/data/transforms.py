@@ -37,6 +37,20 @@ class Sample:
     cap_list: Optional[List[str]] = None
 
 
+def _takes_rng(transform) -> bool:
+    """True if `transform(sample, rng=...)` is supported — datasets use this
+    to thread a per-index Random through augmentation so seeded runs are
+    reproducible under the multi-thread loader."""
+    if transform is None:
+        return False
+    import inspect
+
+    try:
+        return "rng" in inspect.signature(transform).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def get_size_with_aspect_ratio(
     image_size: Tuple[int, int], size: int, max_size: Optional[int] = None
 ) -> Tuple[int, int]:
@@ -138,8 +152,11 @@ class TrainTransform:
         self.scales2_crop = tuple(scales2_crop)
         self.rng = random.Random(seed)
 
-    def __call__(self, sample: Sample) -> Sample:
-        r = self.rng
+    def __call__(self, sample: Sample, rng=None) -> Sample:
+        # `rng` lets the dataset pass a per-index Random so seeded runs are
+        # reproducible under the multi-thread loader (worker scheduling would
+        # otherwise interleave draws from the shared self.rng)
+        r = rng if rng is not None else self.rng
         if r.random() < 0.5:
             sample = hflip(sample)
         if r.random() < 0.5:
@@ -158,7 +175,7 @@ class EvalTransform:
         self.size = size
         self.max_size = max_size
 
-    def __call__(self, sample: Sample) -> Sample:
+    def __call__(self, sample: Sample, rng=None) -> Sample:
         return resize(sample, self.size, self.max_size)
 
 

@@ -37,6 +37,10 @@ def train_one_epoch(
 ):
     metric_logger = MetricLogger(logger=logger)
     header = f"Epoch [{epoch}]"
+    # nonfinite_count is cumulative across the training run (it rides the
+    # checkpoint); abort on growth since epoch start, not on absolute value,
+    # so resuming a checkpoint that once skipped a bad batch stays runnable
+    base_nonfinite = int(jax.device_get(state.nonfinite_count))
     for i, batch in enumerate(
         metric_logger.log_every(loader, print_freq, header)
     ):
@@ -49,7 +53,10 @@ def train_one_epoch(
             # (train_state.py), so params are clean; the host aborts as soon
             # as the counter is observed non-zero — within print_freq steps,
             # with zero per-step device syncs
-            if not math.isfinite(loss) or host.get("nonfinite_count", 0) > 0:
+            if (
+                not math.isfinite(loss)
+                or host.get("nonfinite_count", 0) > base_nonfinite
+            ):
                 (logger.error if logger else print)(
                     f"Loss is {loss} "
                     f"(nonfinite steps: {host.get('nonfinite_count', 0)}), "

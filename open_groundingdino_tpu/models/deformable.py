@@ -172,8 +172,14 @@ class MSDeformAttn(nn.Module):
             bool(int(_os.environ.get("MSDA_BANDED", "1")))
             and self.value_layout == "raster"
         )
-        banded_sorted = use_banded and Q != L and not self.presorted_queries
-        if banded_sorted and not bool(
+        # decoder-style call = query set decoupled from the value stream;
+        # this identifies the path whether the queries arrive unsorted (the
+        # sorted wrapper handles them) or presorted by transformer._decode's
+        # sort-once, so the MSDA_BANDED_DEC / MSDA_BAND_DEC knobs keep
+        # gating the decoder in both regimes
+        is_dec = Q != L
+        banded_sorted = use_banded and is_dec and not self.presorted_queries
+        if (use_banded and is_dec) and not bool(
             int(_os.environ.get("MSDA_BANDED_DEC", "1"))
         ):
             use_banded = banded_sorted = False
@@ -250,7 +256,7 @@ class MSDeformAttn(nn.Module):
             fn = (ms_deform_attn_banded_sorted if banded_sorted
                   else ms_deform_attn_banded)
             band = int(_os.environ.get(
-                "MSDA_BAND_DEC" if banded_sorted else "MSDA_BAND_ENC", "0"
+                "MSDA_BAND_DEC" if is_dec else "MSDA_BAND_ENC", "0"
             )) or None
             out_dq = fn(
                 tuple(values), spatial_shapes, locs_t, attn_t, P, band

@@ -127,7 +127,12 @@ def make_train_step(model, criterion, compute_dtype=None,
         ema_params = state.ema_params
         if ema_params is not None and ema_decay > 0.0:
             from ..utils.ema import ema_update
-            ema_params = ema_update(ema_params, params, ema_decay)
+            new_ema = ema_update(ema_params, params, ema_decay)
+            # a skipped non-finite step must be a no-op for the EMA too —
+            # otherwise it decays toward the (unchanged) params anyway
+            ema_params = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new_ema, ema_params
+            )
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state,
             ema_params=ema_params,

@@ -216,3 +216,33 @@ def test_loader_thread_pool_order_and_concurrency():
     import pytest
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_seeded_aug_reproducible_across_thread_counts(data_dir):
+    """Augmentation randomness is a pure function of (seed, index) — the
+    multi-thread loader must yield bit-identical batches regardless of
+    worker count or scheduling (code-review finding: the previous shared
+    transform RNG made seeded runs non-reproducible with num_threads>1)."""
+    def make_loader(n_threads):
+        ds = ODVGDataset(
+            str(data_dir), str(data_dir / "od.jsonl"),
+            str(data_dir / "label_map.json"), max_labels=3, seed=11,
+            transform=TrainTransform(scales=[64, 96], max_size=128,
+                                     scales2_resize=[48, 64],
+                                     scales2_crop=(32, 64), seed=11),
+        )
+        tok = BertWordPieceTokenizer(str(data_dir / "vocab.txt"))
+        coll = Collator(tok, [(96, 128), (128, 128)],
+                        max_text_len=32, max_gt=8)
+        return DataLoader(ds, coll, batch_size=2, shuffle=True, seed=5,
+                          num_threads=n_threads)
+
+    a = list(make_loader(1))
+    b = list(make_loader(4))
+    c = list(make_loader(4))
+    assert len(a) == len(b) == len(c)
+    for run in (b, c):
+        for x, y in zip(a, run):
+            np.testing.assert_array_equal(x["images"], y["images"])
+            np.testing.assert_array_equal(x["input_ids"], y["input_ids"])
+            np.testing.assert_array_equal(x["gt_boxes"], y["gt_boxes"])

@@ -206,8 +206,10 @@ def test_nonfinite_step_skips_update():
     }
     params = jax.jit(model.init)(jax.random.PRNGKey(5), **init_batch)["params"]
     tx = make_optimizer(params, lr=1e-3, lr_backbone=1e-4)
-    state = TrainState.create(params, tx)
-    step = jax.jit(make_train_step(model, SetCriterion(num_queries=QN)))
+    state = TrainState.create(params, tx, use_ema=True)
+    step = jax.jit(
+        make_train_step(model, SetCriterion(num_queries=QN), ema_decay=0.99)
+    )
 
     bad = dict(batch)
     bad["images"] = np.full_like(batch["images"], np.nan)
@@ -217,6 +219,11 @@ def test_nonfinite_step_skips_update():
     np.testing.assert_array_equal(
         np.asarray(state.params["feat_map"]["kernel"]),
         np.asarray(state1.params["feat_map"]["kernel"]),
+    )
+    # the skipped step is a no-op for the EMA weights too
+    np.testing.assert_array_equal(
+        np.asarray(state.ema_params["feat_map"]["kernel"]),
+        np.asarray(state1.ema_params["feat_map"]["kernel"]),
     )
     # opt_state moments untouched too — no NaN can hide there
     for leaf in jax.tree_util.tree_leaves(state1.opt_state):
@@ -230,6 +237,13 @@ def test_nonfinite_step_skips_update():
         np.abs(
             np.asarray(state2.params["feat_map"]["kernel"])
             - np.asarray(state1.params["feat_map"]["kernel"])
+        ).max()
+        > 0
+    )
+    assert (
+        np.abs(
+            np.asarray(state2.ema_params["feat_map"]["kernel"])
+            - np.asarray(state1.ema_params["feat_map"]["kernel"])
         ).max()
         > 0
     )
