@@ -31,18 +31,33 @@ class LayerNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
-        from ..ops.layernorm_pallas import fused_layernorm
+    def __call__(self, x, residual=None):
+        """LN(x) or, with `residual`, LN(x + residual) — the two-arg form
+        routes through the fused LN+residual kernel (LN_PALLAS_RES=1) so
+        the sum never materializes; identical math either way."""
+        from ..ops.layernorm_pallas import (
+            fused_layernorm,
+            fused_layernorm_residual,
+        )
 
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
         shape = x.shape
-        if x.ndim > 3:       # (B, ..., C) -> (B, prod(mid), C)
-            x = x.reshape(shape[0], -1, C)
-        elif x.ndim == 2:
-            x = x[None]
-        y = fused_layernorm(x, scale, bias, self.epsilon)
+
+        def to3(a):
+            if a.ndim > 3:   # (B, ..., C) -> (B, prod(mid), C)
+                return a.reshape(shape[0], -1, C)
+            if a.ndim == 2:
+                return a[None]
+            return a
+
+        if residual is None:
+            y = fused_layernorm(to3(x), scale, bias, self.epsilon)
+        else:
+            y = fused_layernorm_residual(
+                to3(x), to3(residual), scale, bias, self.epsilon
+            )
         return y.reshape(shape[:-1] + (C,))
 
 
@@ -274,11 +289,11 @@ class TextEnhancerLayer(nn.Module):
         attn_out = MultiHeadAttention(self.d_model, self.nhead, name="self_attn")(
             q, q, text, attn_mask=~text_self_attention_masks
         )
-        x = LayerNorm(epsilon=1e-5, name="norm1")(text + attn_out)
+        x = LayerNorm(epsilon=1e-5, name="norm1")(text, attn_out)
         h = nn.Dense(self.dim_feedforward, name="linear1")(x)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
-        return LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+        return LayerNorm(epsilon=1e-5, name="norm2")(x, h)
 
 
 class MLP(nn.Module):

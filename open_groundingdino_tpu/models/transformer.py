@@ -209,11 +209,11 @@ class DeformableEncoderLayer(nn.Module):
         # recompute per train step at bench shapes for ~41 MB x 6 layers)
         from jax.ad_checkpoint import checkpoint_name as _ckpt_nm
         src2 = _ckpt_nm(src2, "msda_out")
-        src = LayerNorm(epsilon=1e-5, name="norm1")(src + src2)
+        src = LayerNorm(epsilon=1e-5, name="norm1")(src, src2)
         h = nn.Dense(self.d_ffn, name="linear1")(src)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
-        return LayerNorm(epsilon=1e-5, name="norm2")(src + h)
+        return LayerNorm(epsilon=1e-5, name="norm2")(src, h)
 
 
 class DeformableDecoderLayer(nn.Module):
@@ -243,7 +243,7 @@ class DeformableDecoderLayer(nn.Module):
         # self attention
         q = k = tgt + query_pos
         sa = MultiHeadAttention(self.d_model, self.n_heads, name="self_attn")(q, k, tgt)
-        tgt = LayerNorm(epsilon=1e-5, name="norm2")(tgt + sa)
+        tgt = LayerNorm(epsilon=1e-5, name="norm2")(tgt, sa)
 
         # text cross attention
         if self.use_text_cross_attention:
@@ -251,7 +251,7 @@ class DeformableDecoderLayer(nn.Module):
                 tgt + query_pos, memory_text, memory_text,
                 key_padding_mask=text_attention_mask,
             )
-            tgt = LayerNorm(epsilon=1e-5, name="catext_norm")(tgt + ca)
+            tgt = LayerNorm(epsilon=1e-5, name="catext_norm")(tgt, ca)
 
         # deformable image cross attention
         ca2 = MSDeformAttn(
@@ -262,14 +262,14 @@ class DeformableDecoderLayer(nn.Module):
             tgt + query_pos, memory, reference_points, self.spatial_shapes,
             memory_key_padding_mask,
         )
-        tgt = LayerNorm(epsilon=1e-5, name="norm1")(tgt + ca2)
+        tgt = LayerNorm(epsilon=1e-5, name="norm1")(tgt, ca2)
 
         # FFN in fp32 (reference transformer.py:871 forces fp32 under AMP)
         t32 = tgt.astype(jnp.float32)
         h = nn.Dense(self.d_ffn, name="linear1")(t32)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
-        return LayerNorm(epsilon=1e-5, name="norm3")((t32 + h)).astype(tgt.dtype)
+        return LayerNorm(epsilon=1e-5, name="norm3")(t32, h).astype(tgt.dtype)
 
 
 class Transformer(nn.Module):

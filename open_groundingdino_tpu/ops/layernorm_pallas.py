@@ -122,6 +122,98 @@ def _ln_partitioned(eps: float, out_dtype: str):
     )
 
 
+def _lnres_kernel(x_ref, r_ref, s_ref, b_ref, o_ref, *, eps: float):
+    """LN(x + r) in one pass — the residual add rides the same read, so
+    unlike the standalone LN kernel this does not force XLA to materialize
+    the sum separately (the measured cause of the LN_PALLAS e2e loss)."""
+    x = x_ref[...].astype(jnp.float32) + r_ref[...].astype(jnp.float32)
+    c = x.shape[-1]
+    mu = jnp.sum(x, axis=-1, keepdims=True) * (1.0 / c)
+    m2 = jnp.sum(x * x, axis=-1, keepdims=True) * (1.0 / c)
+    var = jnp.maximum(m2 - mu * mu, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (x - mu) * rstd * s_ref[...].astype(jnp.float32) + b_ref[...].astype(
+        jnp.float32
+    )
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _lnres_call(x2, r2, scale, bias, eps, out_dtype):
+    R, C = x2.shape
+    tile = _pick_tile(R)
+    if tile < 128:
+        R_pad = ((R + 255) // 256) * 256
+        x2 = jnp.pad(x2, ((0, R_pad - R), (0, 0)))
+        r2 = jnp.pad(r2, ((0, R_pad - R), (0, 0)))
+        return _lnres_call(x2, r2, scale, bias, eps, out_dtype)[:R]
+    interpret = jax.devices()[0].platform != "tpu"
+    row_spec = pl.BlockSpec((tile, C), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    par_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lnres_kernel, eps=eps),
+        interpret=interpret,
+        grid=(R // tile,),
+        in_specs=[row_spec, row_spec, par_spec, par_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((R, C), out_dtype),
+    )(x2, r2, scale, bias)
+
+
+@functools.lru_cache(maxsize=None)
+def _lnres_partitioned(eps: float, out_dtype: str):
+    def impl(x, r, scale, bias):
+        B, L, C = x.shape
+        y = _lnres_call(x.reshape(B * L, C), r.reshape(B * L, C),
+                        scale[0], bias[0], eps, jnp.dtype(out_dtype))
+        return y.reshape(B, L, C)
+
+    return _batch_partitioned(
+        impl, 4, 1,
+        [("b", "l", "c"), ("b", "l", "c"), ("b", "s1", "c"), ("b", "s1", "c"),
+         ("b", "l", "c")],
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_layernorm_residual(x, res, scale, bias, eps=1e-5):
+    """LayerNorm(x + res) over the last axis — identical math to
+    `fused_layernorm(x + res, ...)`; the Pallas path (LN_PALLAS_RES=1)
+    folds the residual add into the kernel's read so the surrounding XLA
+    program never materializes the sum."""
+    B, L, C = x.shape
+    if (
+        not bool(int(os.environ.get("LN_PALLAS_RES", "0")))
+        or B * L < 8192
+        or C < 96
+    ):
+        return _ln_ref(x + res, scale, bias, eps)
+    out_dtype = jnp.result_type(x.dtype, res.dtype, scale.dtype, bias.dtype)
+    return _lnres_partitioned(eps, jnp.dtype(out_dtype).name)(
+        x, res,
+        jnp.broadcast_to(scale.reshape(1, 1, C), (B, 1, C)),
+        jnp.broadcast_to(bias.reshape(1, 1, C), (B, 1, C)),
+    )
+
+
+def _lnres_fwd(x, res, scale, bias, eps):
+    return fused_layernorm_residual(x, res, scale, bias, eps), (
+        x, res, scale, bias
+    )
+
+
+def _lnres_bwd(eps, resids, g):
+    x, res, scale, bias = resids
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _ln_ref(x_, s_, b_, eps), x + res, scale, bias
+    )
+    gin, gs, gb = vjp(g)
+    return gin.astype(x.dtype), gin.astype(res.dtype), gs, gb
+
+
+fused_layernorm_residual.defvjp(_lnres_fwd, _lnres_bwd)
+
+
 def _ln_ref(x, scale, bias, eps):
     """Plain-XLA reference (also the vjp backward path).  Same fast-variance
     math as flax `nn.LayerNorm` incl. its maximum(0, .) clamp; f32

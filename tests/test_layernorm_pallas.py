@@ -120,3 +120,80 @@ def test_fused_ln_sharded():
     want = _flax_ln(x, scale, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-6), (jnp.bfloat16, 2e-2)])
+def test_fused_lnres_forward_parity(dtype, tol, monkeypatch):
+    """LN_PALLAS_RES=1: LN(x + r) fused kernel vs flax LN of the sum."""
+    monkeypatch.setenv("LN_PALLAS_RES", "1")
+    from open_groundingdino_tpu.ops.layernorm_pallas import (
+        fused_layernorm_residual,
+    )
+
+    rng = np.random.RandomState(5)
+    B, L, C = 2, 4160, 256
+    x = jnp.asarray(rng.randn(B, L, C) * 2, dtype)
+    r = jnp.asarray(rng.randn(B, L, C), dtype)
+    scale = jnp.asarray(rng.randn(C), jnp.float32)
+    bias = jnp.asarray(rng.randn(C), jnp.float32)
+    got = jax.jit(
+        lambda a, b, s, c: fused_layernorm_residual(a, b, s, c, 1e-5)
+    )(x, r, scale, bias)
+    want = _flax_ln((x.astype(jnp.float32) + r.astype(jnp.float32)).astype(dtype),
+                    scale, bias)
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=tol, atol=tol)
+
+
+def test_fused_lnres_grad_parity(monkeypatch):
+    monkeypatch.setenv("LN_PALLAS_RES", "1")
+    from open_groundingdino_tpu.ops.layernorm_pallas import (
+        fused_layernorm_residual,
+    )
+
+    rng = np.random.RandomState(6)
+    B, L, C = 2, 4160, 128
+    x = jnp.asarray(rng.randn(B, L, C), jnp.float32)
+    r = jnp.asarray(rng.randn(B, L, C), jnp.float32)
+    scale = jnp.asarray(rng.randn(C), jnp.float32)
+    bias = jnp.asarray(rng.randn(C), jnp.float32)
+    g = jnp.asarray(rng.randn(B, L, C), jnp.float32)
+
+    gx, gr, gs, gb = jax.grad(
+        lambda a, b, s, c: jnp.sum(
+            fused_layernorm_residual(a, b, s, c, 1e-5) * g
+        ),
+        argnums=(0, 1, 2, 3),
+    )(x, r, scale, bias)
+    wx, ws, wb = jax.grad(
+        lambda a, s, c: jnp.sum(_flax_ln(a, s, c) * g), argnums=(0, 1, 2)
+    )(x + r, scale, bias)
+    for got, want, name in (
+        (gx, wx, "x"), (gr, wx, "res"), (gs, ws, "scale"), (gb, wb, "bias")
+    ):
+        # scale/bias grads reduce over 8320 rows — summation order differs
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+            err_msg=f"grad_{name}",
+        )
+
+
+def test_module_residual_form_matches_sum(monkeypatch):
+    """LayerNorm(x, residual) must equal LayerNorm()(x + residual) on both
+    the default XLA path and the fused kernel path."""
+    from open_groundingdino_tpu.models.layers import LayerNorm
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 4160, 128), jnp.float32)
+    r = jnp.asarray(rng.randn(2, 4160, 128), jnp.float32)
+    mod = LayerNorm(epsilon=1e-5)
+    p = mod.init(jax.random.PRNGKey(0), x)
+    want = mod.apply(p, x + r)
+    for env in ("0", "1"):
+        monkeypatch.setenv("LN_PALLAS_RES", env)
+        got = mod.apply(p, x, r)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6,
+            err_msg=f"LN_PALLAS_RES={env}",
+        )
