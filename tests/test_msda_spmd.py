@@ -89,11 +89,17 @@ def test_pallas_grads_sharded_parity():
 
 
 @pytest.mark.slow
-def test_msda_module_pallas_sharded_train_grads():
+@pytest.mark.parametrize(
+    "env", [{}, {"MSDA_BANDED_MP_BWD": "1"}], ids=["default", "mp_bwd"]
+)
+def test_msda_module_pallas_sharded_train_grads(env, monkeypatch):
     """Full MSDeformAttn module (projections + kernel + custom VJP) with
     impl='pallas' vs impl='xla' under the sharded mesh: same params, same
     sharded batch, grads must agree — the unit version of a DP train step
-    running the kernel on every device."""
+    running the kernel on every device.  Parametrized over the env-gated
+    multi-point backward so flipping its default is already SPMD-proven."""
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
     mesh = make_mesh()
     rng = np.random.RandomState(2)
     C = H * D
