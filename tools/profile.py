@@ -98,6 +98,7 @@ def main():
                     state, m = step_fn(state, batch)
                 float(m["loss"])
             print(f"train trace -> {args.output_dir}")
+            summarize_trace(args.output_dir, args.iters)
         except Exception as e:
             print(f"trace unavailable: {e}")
         t0 = time.perf_counter()
@@ -143,6 +144,63 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
     print(f"fwd: {dt * 1e3:.1f} ms/batch  ({args.batch / dt:.2f} img/s)"
           + (f"; trace -> {args.output_dir}" if traced else ""))
+    if traced:
+        summarize_trace(args.output_dir, args.iters)
+
+
+def summarize_trace(trace_dir: str, iters: int, top: int = 30) -> None:
+    """Print per-op-bucket device time from the written trace (the
+    round-to-round attribution table BENCH_NOTES records; replaces the
+    ad-hoc trace parsing of earlier rounds).  Buckets are trace event
+    names truncated at the first '.' — XLA fusions, custom-call kernels
+    (pallas module names like self_attn/cross_attn/attn), copies, convs
+    land in separate rows.  Times are totals per iteration; parent spans
+    (the jit_* row) include their children."""
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(
+        os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")
+    ))
+    if not paths:
+        print("no trace.json.gz found to summarize")
+        return
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    durs: collections.Counter = collections.Counter()
+    counts: collections.Counter = collections.Counter()
+    bypid: collections.Counter = collections.Counter()
+    pid_names = {}
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e.get("pid", 0)] = e.get("args", {}).get("name", "")
+        if e.get("ph") != "X":
+            continue
+        key = (e.get("pid", 0), e.get("name", "").split(".")[0][:60])
+        d = e.get("dur", 0)
+        durs[key] += d
+        counts[key] += 1
+        bypid[e.get("pid", 0)] += d
+    if not bypid:
+        print("trace has no complete events")
+        return
+    # the device timeline carries a '/device:' process name; fall back to
+    # the busiest pid if metadata is absent
+    dev_pids = [p for p, n in pid_names.items() if "/device:" in (n or "")]
+    dev = (max(dev_pids, key=lambda p: bypid.get(p, 0)) if dev_pids
+           else bypid.most_common(1)[0][0])
+    rows = sorted(
+        ((d, name, counts[(pid, name)]) for (pid, name), d in durs.items()
+         if pid == dev),
+        reverse=True,
+    )
+    total = sum(r[0] for r in rows)
+    print(f"device self-time {total / 1e3 / max(iters, 1):.1f} ms/iter "
+          f"across {len(rows)} buckets (top {top}):")
+    for d, name, c in rows[:top]:
+        print(f"  {d / 1e3 / max(iters, 1):8.2f} ms  x{c:5d}  {name}")
 
 
 if __name__ == "__main__":
