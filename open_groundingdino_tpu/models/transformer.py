@@ -210,9 +210,22 @@ class DeformableEncoderLayer(nn.Module):
         from jax.ad_checkpoint import checkpoint_name as _ckpt_nm
         src2 = _ckpt_nm(src2, "msda_out")
         src = LayerNorm(epsilon=1e-5, name="norm1")(src, src2)
-        h = nn.Dense(self.d_ffn, name="linear1")(src)
-        h = nn.relu(h)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        import os as _os1
+
+        if bool(int(_os1.environ.get("MLP_PALLAS", "0"))):
+            # fused FFN: both dots in one kernel, the (B*L, d_ffn)
+            # intermediate stays in VMEM (ops/mlp_pallas.py). Same param
+            # tree as the nn.Dense chain below.
+            from .deformable import _DenseParams
+            from ..ops.mlp_pallas import fused_mlp
+
+            k1, b1 = _DenseParams(self.d_model, self.d_ffn, name="linear1")()
+            k2, b2 = _DenseParams(self.d_ffn, self.d_model, name="linear2")()
+            h = fused_mlp(src, k1, b1, k2, b2)
+        else:
+            h = nn.Dense(self.d_ffn, name="linear1")(src)
+            h = nn.relu(h)
+            h = nn.Dense(self.d_model, name="linear2")(h)
         return LayerNorm(epsilon=1e-5, name="norm2")(src, h)
 
 
