@@ -128,13 +128,30 @@ class WindowAttention(nn.Module):
         wqkv = wqkv.astype(x.dtype).reshape(C, 3, H, D)
         bqkv = bqkv.astype(x.dtype).reshape(3, H, D)
 
-        def proj(i):
-            return jnp.einsum("bnc,chd->bnhd", x, wqkv[:, i]) + bqkv[i]
+        # SWIN_BHND=1: emit q/k/v in batch-major (B_, H, N, D) so XLA's
+        # batched attention dots consume them directly — the bnhd form
+        # costs one layout copy per operand (trace at 21.7: 2x0.68 ms +
+        # 0.42 ms per stage-0 block); the bhnd form pays a single output
+        # transpose before proj instead.  Same contraction, same numbers.
+        import os as _os
 
-        q, k, v = proj(0), proj(1), proj(2)
-
+        bhnd = bool(int(_os.environ.get("SWIN_BHND", "0")))
         scale = jnp.asarray(D ** -0.5, x.dtype)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        if bhnd:
+            def proj(i):
+                return (
+                    jnp.einsum("bnc,chd->bhnd", x, wqkv[:, i])
+                    + bqkv[i][None, :, None, :]
+                )
+
+            q, k, v = proj(0), proj(1), proj(2)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+        else:
+            def proj(i):
+                return jnp.einsum("bnc,chd->bnhd", x, wqkv[:, i]) + bqkv[i]
+
+            q, k, v = proj(0), proj(1), proj(2)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
 
         table = self.param(
             "relative_position_bias_table",
@@ -153,7 +170,10 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(B_, H, N, N)
 
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B_, N, C)
+        if bhnd:
+            out = jnp.einsum("bhnm,bhmd->bnhd", attn, v).reshape(B_, N, C)
+        else:
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B_, N, C)
         return nn.Dense(C, name="proj")(out)
 
 

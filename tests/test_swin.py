@@ -121,3 +121,28 @@ def test_converter_matches_init_tree():
     # converted params must run
     out = SwinTransformer(c).apply({"params": converted}, jnp.zeros((1, 32, 32, 3)))
     assert len(out) == 3
+
+
+def test_window_attention_bhnd_layout_parity(monkeypatch):
+    """SWIN_BHND=1 (batch-major attention einsums) is a pure layout
+    choice — outputs must match the default form exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_groundingdino_tpu.models.swin import WindowAttention
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(12, 16, 32), jnp.float32)
+
+    def run(env):
+        monkeypatch.setenv("SWIN_BHND", env)
+        mod = WindowAttention(dim=32, num_heads=4, window_size=4)
+        p = mod.init(jax.random.PRNGKey(0), x)
+        return p, mod.apply(p, x)
+
+    p0, o0 = run("0")
+    p1, o1 = run("1")
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-6, atol=1e-6)
