@@ -1,10 +1,16 @@
 #!/usr/bin/env python3
-"""PAVE single-image damage inference (reference inference_on_a_image_pave.py,
-minus the RepViT car-segmentation stage: the car bbox is supplied directly,
-as the reference's batch harness also supports).
+"""PAVE single-image damage inference (reference inference_on_a_image_pave.py).
+
+The car bbox seeding the crop grid comes from either ``--car_bbox`` (as the
+reference's batch harness also supports) or ``--car_seg_checkpoint``: a
+native RepViT+Semantic-FPN segmentor (pave/repvit_seg.py — the TPU
+equivalent of the reference's mmseg ``repvit_stuff`` stage,
+`/root/reference/inference_on_a_image_pave.py:187-283,337-357`) whose car
+mask is reduced to a tight bbox.
 
     python tools/inference_pave.py -c CONFIG -p CKPT --vocab vocab.txt \
         -i frame.jpg --car_bbox 400,300,1500,900 \
+        [--car_seg_checkpoint seg.msgpack --car_seg_variant m1_1] \
         [-t "dent . scratch . broken ."] [-o out_dir]
 
 Slides 512x512 crops over the (padded) car bbox, runs the detector per crop
@@ -34,8 +40,12 @@ def main():
     ap.add_argument("--checkpoint_path", "-p", required=True)
     ap.add_argument("--vocab", required=True)
     ap.add_argument("--image_path", "-i", required=True)
-    ap.add_argument("--car_bbox", required=True,
+    ap.add_argument("--car_bbox", default=None,
                     help="x0,y0,x1,y1 in frame pixels")
+    ap.add_argument("--car_seg_checkpoint", default=None,
+                    help="flax msgpack of a pave.repvit_seg.RepViTSegmentor;"
+                         " derives the car bbox when --car_bbox is absent")
+    ap.add_argument("--car_seg_variant", default="m1_1")
     ap.add_argument("--text_prompt", "-t",
                     default="dent . scratch . missing . scraped . broken .")
     ap.add_argument("--output_dir", "-o", default="pave_out")
@@ -48,7 +58,19 @@ def main():
     model = load_model(args.config_file, args.checkpoint_path, args.vocab)
     frame = Image.open(args.image_path).convert("RGB")
     arr = np.asarray(frame)
-    car = [float(v) for v in args.car_bbox.split(",")]
+    if args.car_bbox is not None:
+        car = [float(v) for v in args.car_bbox.split(",")]
+    elif args.car_seg_checkpoint is not None:
+        from open_groundingdino_tpu.pave.repvit_seg import (
+            RepViTConfig, load_segmentor_params, derive_car_bbox)
+        cfg = RepViTConfig.from_name(args.car_seg_variant)
+        seg_params = load_segmentor_params(args.car_seg_checkpoint, cfg)
+        car = derive_car_bbox(seg_params, arr, cfg)
+        if car is None:
+            raise SystemExit("car segmentor found no car pixels in the frame")
+        print(f"car bbox from segmentation: {[round(v, 1) for v in car]}")
+    else:
+        raise SystemExit("one of --car_bbox / --car_seg_checkpoint required")
 
     crop_boxes = crop_utils.create_crop_boxes(arr.shape[:2], car)
     crop_results = []
