@@ -66,6 +66,9 @@ class RepViTConfig:
         if name in ("m2_3", "repvit_m2_3"):
             return RepViTConfig(widths=(80, 160, 320, 640),
                                 depths=(6, 6, 34, 2))
+        if name == "nano_test":  # CI-sized, mirrors swin_nano_test
+            return RepViTConfig(widths=(8, 16, 24, 32), depths=(1, 1, 2, 1),
+                                fpn_dim=16)
         raise ValueError(f"unknown RepViT variant {name!r}")
 
 
@@ -307,7 +310,6 @@ def convert_torch_state_dict(state_dict, cfg: RepViTConfig | None = None):
     verified in this environment.  This helper handles the generic parts —
     OIHW->HWIO conv transposes and BN folding to the FrozenBN affine form —
     for a caller who has the checkpoint and supplies a name map."""
-    import re  # noqa: F401  (kept local: only needed when called)
 
     def fold_bn(prefix):
         w = state_dict[f"{prefix}.weight"].numpy()

@@ -12,8 +12,7 @@ from open_groundingdino_tpu.pave.repvit_seg import (
     load_segmentor_params, segment_car_mask,
 )
 
-NANO = RepViTConfig(widths=(8, 16, 24, 32), depths=(1, 1, 2, 1),
-                    fpn_dim=16, num_classes=2)
+NANO = RepViTConfig.from_name("nano_test")
 
 
 @pytest.fixture(scope="module")
@@ -70,6 +69,48 @@ def test_segment_car_mask_jits_and_is_deterministic(seg_params):
     m1, m2 = np.asarray(f(seg_params, x)), np.asarray(f(seg_params, x))
     assert m1.shape == (1, 64, 64) and m1.dtype == bool
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_inference_pave_cli_derives_bbox_from_segmentor(
+        tmp_path, seg_params, monkeypatch, capsys):
+    """tools/inference_pave.py --car_seg_checkpoint wiring: the car bbox is
+    derived from the segmentor (detector stubbed — its own path is covered
+    by tests/test_pave.py and the inference e2e tests)."""
+    import sys
+    import tools.inference_pave as tool
+
+    # bias the classifier so every pixel is car -> full-frame bbox
+    # (tree_map rebuilds the dict structure: the shared fixture stays intact)
+    params = jax.tree_util.tree_map(lambda x: x, seg_params)
+    params["params"]["head"]["cls"]["bias"] = (
+        params["params"]["head"]["cls"]["bias"] + np.asarray([-5.0, 5.0]))
+    ckpt = str(tmp_path / "seg.msgpack")
+    save_segmentor_params(params, ckpt)
+
+    from PIL import Image
+    frame = str(tmp_path / "frame.jpg")
+    Image.fromarray(np.zeros((96, 128, 3), np.uint8)).save(frame)
+
+    seen = {}
+    monkeypatch.setattr(tool, "load_model", lambda *a, **k: object())
+
+    def fake_predict(model, img, prompt, **kw):
+        seen["n"] = seen.get("n", 0) + 1
+        return np.zeros((0, 4), np.float32), np.zeros((0,), np.float32), []
+
+    monkeypatch.setattr(tool, "predict", fake_predict)
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "inference_pave.py", "-c", "cfg", "-p", "ckpt", "--vocab", "v",
+        "-i", frame, "--car_seg_checkpoint", ckpt,
+        "--car_seg_variant", "nano_test", "--car_seg_infer_size", "32,64",
+        "-o", out])
+    tool.main()
+    assert "car bbox from segmentation" in capsys.readouterr().out
+    assert seen["n"] >= 1  # crops were generated from the derived bbox
+    import json as _json
+    with open(f"{out}/pred.json") as f:
+        assert _json.load(f)["n_crops"] >= 1
 
 
 def test_params_save_load_roundtrip(tmp_path, seg_params):

@@ -46,6 +46,8 @@ def main():
                     help="flax msgpack of a pave.repvit_seg.RepViTSegmentor;"
                          " derives the car bbox when --car_bbox is absent")
     ap.add_argument("--car_seg_variant", default="m1_1")
+    ap.add_argument("--car_seg_infer_size", default="512,1024",
+                    help="h,w the frame is resized to for segmentation")
     ap.add_argument("--text_prompt", "-t",
                     default="dent . scratch . missing . scraped . broken .")
     ap.add_argument("--output_dir", "-o", default="pave_out")
@@ -65,7 +67,8 @@ def main():
             RepViTConfig, load_segmentor_params, derive_car_bbox)
         cfg = RepViTConfig.from_name(args.car_seg_variant)
         seg_params = load_segmentor_params(args.car_seg_checkpoint, cfg)
-        car = derive_car_bbox(seg_params, arr, cfg)
+        ih, iw = (int(v) for v in args.car_seg_infer_size.split(","))
+        car = derive_car_bbox(seg_params, arr, cfg, infer_size=(ih, iw))
         if car is None:
             raise SystemExit("car segmentor found no car pixels in the frame")
         print(f"car bbox from segmentation: {[round(v, 1) for v in car]}")
