@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .msda_pallas import _batch_partitioned
+from .tiling import pick_row_tile
 
 
 def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
@@ -65,10 +66,9 @@ def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
 
 
 def _pick_tile(r: int) -> int:
-    for t in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if r % t == 0:
-            return t
-    return 0
+    # tiles below 128 would be re-padded by the caller anyway, so the tier
+    # list stops at 128 (shared helper: ops/tiling.py)
+    return pick_row_tile(r, (1024, 512, 256, 128))
 
 
 def _ln_call(x2, scale, bias, eps, out_dtype):

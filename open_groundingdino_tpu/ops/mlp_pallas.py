@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .msda_pallas import _batch_partitioned
+from .tiling import pick_row_tile
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
@@ -50,17 +51,12 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[...] = o.astype(o_ref.dtype)
 
 
-def _pick_tile(r: int) -> int:
-    for t in (512, 256, 128):
-        if r % t == 0:
-            return t
-    return 0
-
-
 def _mlp_call(x2, w1, b1, w2, b2):
     R, C = x2.shape
     F = w1.shape[1]
-    tile = _pick_tile(R)
+    # tiers capped at 512: the kernel holds a (tile, d_ffn) f32
+    # intermediate in VMEM (shared helper: ops/tiling.py)
+    tile = pick_row_tile(R, (512, 256, 128))
     if tile == 0:
         R_pad = ((R + 511) // 512) * 512
         x2 = jnp.pad(x2, ((0, R_pad - R), (0, 0)))

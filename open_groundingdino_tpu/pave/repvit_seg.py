@@ -32,8 +32,10 @@ order ``pave.crop_utils.create_crop_boxes`` consumes.
 """
 from __future__ import annotations
 
+import functools
+import math
 from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
@@ -198,7 +200,8 @@ class SemanticFPN(nn.Module):
         outs = [nn.Conv(d, (3, 3), padding=1, name=f"fpn_out{i}")(l)
                 for i, l in enumerate(lat)]
         base_hw = outs[0].shape[1:3]
-        groups = min(32, d)
+        # largest power-of-two divisor of d up to 32, so any fpn_dim works
+        groups = math.gcd(d, 32)
         acc = None
         for i, o in enumerate(outs):
             # scale head: one conv-GN-ReLU (+2x upsample) per octave above
@@ -229,11 +232,23 @@ class RepViTSegmentor(nn.Module):
         return _resize_bilinear(logits, images.shape[1:3])
 
 
+@functools.lru_cache(maxsize=4)
+def _jitted_segment(cfg: RepViTConfig):
+    model = RepViTSegmentor(cfg)
+
+    @jax.jit
+    def run(params, images):
+        logits = model.apply(params, images)
+        return jnp.argmax(logits, axis=-1) == cfg.car_class
+
+    return run
+
+
 def segment_car_mask(params, images, cfg: RepViTConfig | None = None):
-    """argmax-class mask (B, H, W) == cfg.car_class, jittable."""
-    cfg = cfg or RepViTConfig()
-    logits = RepViTSegmentor(cfg).apply(params, images)
-    return jnp.argmax(logits, axis=-1) == cfg.car_class
+    """argmax-class mask (B, H, W) == cfg.car_class. Jitted per config —
+    eager dispatch of the ~100-layer segmentor costs seconds/frame on the
+    per-op-dispatch axon runtime."""
+    return _jitted_segment(cfg or RepViTConfig())(params, images)
 
 
 def car_mask_to_bbox(mask: np.ndarray) -> Tuple[float, float, float, float] | None:
@@ -301,26 +316,27 @@ def load_segmentor_params(path: str, cfg: RepViTConfig | None = None):
     return restored
 
 
-def convert_torch_state_dict(state_dict, cfg: RepViTConfig | None = None):
-    """Best-effort mmseg->Flax key mapping scaffold.
+# -- torch-checkpoint ingestion helpers -------------------------------------
+# The reference's segmentation checkpoint (``repvit-Sep2.pth``) and its mmseg
+# config live on the author's machine
+# (`/root/reference/inference_on_a_image_pave.py:188-189`) and are not
+# redistributable, so a full verified key map cannot exist in this
+# environment.  These cover the two mechanical parts a caller with the
+# checkpoint needs: BN folding to the FrozenBN affine form and OIHW->HWIO
+# conv transposition.
 
-    The reference's checkpoint (``repvit-Sep2.pth``) and its mmseg config
-    live on the author's machine (`/root/reference/inference_on_a_image_pave.py:188-189`)
-    and are not redistributable; exact key mapping therefore cannot be
-    verified in this environment.  This helper handles the generic parts —
-    OIHW->HWIO conv transposes and BN folding to the FrozenBN affine form —
-    for a caller who has the checkpoint and supplies a name map."""
 
-    def fold_bn(prefix):
-        w = state_dict[f"{prefix}.weight"].numpy()
-        b = state_dict[f"{prefix}.bias"].numpy()
-        m = state_dict[f"{prefix}.running_mean"].numpy()
-        v = state_dict[f"{prefix}.running_var"].numpy()
-        scale = w / np.sqrt(v + 1e-5)
-        return {"scale": scale, "bias": b - m * scale}
+def fold_torch_bn(state_dict, prefix: str, eps: float = 1e-5):
+    """torch BatchNorm at ``prefix`` -> FrozenBN {scale, bias} (stats folded)."""
+    w = np.asarray(state_dict[f"{prefix}.weight"])
+    b = np.asarray(state_dict[f"{prefix}.bias"])
+    m = np.asarray(state_dict[f"{prefix}.running_mean"])
+    v = np.asarray(state_dict[f"{prefix}.running_var"])
+    scale = w / np.sqrt(v + eps)
+    return {"scale": scale, "bias": b - m * scale}
 
-    def conv(prefix):
-        return np.transpose(state_dict[f"{prefix}.weight"].numpy(),
-                            (2, 3, 1, 0))
 
-    return {"fold_bn": fold_bn, "conv": conv}
+def torch_conv_kernel(state_dict, prefix: str):
+    """torch Conv2d weight at ``prefix`` (OIHW) -> flax kernel (HWIO)."""
+    return np.transpose(np.asarray(state_dict[f"{prefix}.weight"]),
+                        (2, 3, 1, 0))

@@ -98,6 +98,11 @@ def test_msda_module_pallas_sharded_train_grads(env, monkeypatch):
     sharded batch, grads must agree — the unit version of a DP train step
     running the kernel on every device.  Parametrized over the env-gated
     multi-point backward so flipping its default is already SPMD-proven."""
+    # clear gates the case does not set, so an ambient shell export (e.g.
+    # mid-A/B MSDA_BANDED_MP_BWD=1) cannot make both cases test one path
+    for k in ("MSDA_BANDED_MP_BWD",):
+        if k not in env:
+            monkeypatch.delenv(k, raising=False)
     for k, v in env.items():
         monkeypatch.setenv(k, v)
     mesh = make_mesh()

@@ -98,9 +98,10 @@ def main():
                     state, m = step_fn(state, batch)
                 float(m["loss"])
             print(f"train trace -> {args.output_dir}")
-            summarize_trace(args.output_dir, args.iters)
         except Exception as e:
             print(f"trace unavailable: {e}")
+        else:
+            _summarize_safely(args.output_dir, args.iters)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             state, m = step_fn(state, batch)
@@ -145,7 +146,16 @@ def main():
     print(f"fwd: {dt * 1e3:.1f} ms/batch  ({args.batch / dt:.2f} img/s)"
           + (f"; trace -> {args.output_dir}" if traced else ""))
     if traced:
-        summarize_trace(args.output_dir, args.iters)
+        _summarize_safely(args.output_dir, args.iters)
+
+
+def _summarize_safely(trace_dir: str, iters: int) -> None:
+    """A truncated/malformed trace (killed mid-write, disk full) must not
+    crash the tool after the timing line already printed."""
+    try:
+        summarize_trace(trace_dir, iters)
+    except Exception as e:
+        print(f"trace written but summary failed: {e}")
 
 
 def summarize_trace(trace_dir: str, iters: int, top: int = 30) -> None:
