@@ -221,9 +221,23 @@ class SwinBlock(nn.Module):
         x = shortcut + x.reshape(B, L, C)
 
         h = LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h = nn.Dense(int(C * self.mlp_ratio), name="fc1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(C, name="fc2")(h)
+        import os as _os2
+
+        if bool(int(_os2.environ.get("MLP_PALLAS", "0"))):
+            # fused two-dot GELU MLP, (B*L, 4C) intermediate kept in VMEM
+            # (ops/mlp_pallas.py; same param tree as the Dense chain) —
+            # engages on the big early-stage streams, size-gated otherwise
+            from .deformable import _DenseParams
+            from ..ops.mlp_pallas import fused_mlp
+
+            F = int(C * self.mlp_ratio)
+            k1, b1 = _DenseParams(C, F, name="fc1")()
+            k2, b2 = _DenseParams(F, C, name="fc2")()
+            h = fused_mlp(h, k1, b1, k2, b2, activation="gelu")
+        else:
+            h = nn.Dense(int(C * self.mlp_ratio), name="fc1")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(C, name="fc2")(h)
         return x + h
 
 

@@ -24,6 +24,7 @@ Env gate MLP_PALLAS=1 (default off until the on-chip A/B lands).
 from __future__ import annotations
 
 import functools
+import math
 import os
 
 import jax
@@ -35,14 +36,23 @@ from .msda_pallas import _batch_partitioned
 from .tiling import pick_row_tile
 
 
-def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _apply_act(h, act: str):
+    """Activation on the f32 accumulator (caller casts after)."""
+    if act == "relu":
+        return jnp.maximum(h, 0.0)
+    if act == "gelu":  # exact (erf) form, matching nn.gelu(approximate=False)
+        return 0.5 * h * (1.0 + jax.lax.erf(h * (1.0 / math.sqrt(2.0))))
+    raise ValueError(f"unsupported activation {act!r}")
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, act):
     x = x_ref[...]                                   # (TILE, C) in dtype
     h = jax.lax.dot_general(
         x, w1_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[...].astype(jnp.float32)              # (TILE, F) f32
-    h = jnp.maximum(h, 0.0).astype(w2_ref.dtype)     # relu, cast like XLA
+    h = _apply_act(h, act).astype(w2_ref.dtype)      # act, cast like XLA
     o = jax.lax.dot_general(
         h, w2_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -51,7 +61,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[...] = o.astype(o_ref.dtype)
 
 
-def _mlp_call(x2, w1, b1, w2, b2):
+def _mlp_call(x2, w1, b1, w2, b2, act="relu"):
     R, C = x2.shape
     F = w1.shape[1]
     # tiers capped at 512: the kernel holds a (tile, d_ffn) f32
@@ -60,13 +70,13 @@ def _mlp_call(x2, w1, b1, w2, b2):
     if tile == 0:
         R_pad = ((R + 511) // 512) * 512
         x2 = jnp.pad(x2, ((0, R_pad - R), (0, 0)))
-        return _mlp_call(x2, w1, b1, w2, b2)[:R]
+        return _mlp_call(x2, w1, b1, w2, b2, act)[:R]
     interpret = jax.devices()[0].platform != "tpu"
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        _mlp_kernel,
+        functools.partial(_mlp_kernel, act=act),
         interpret=interpret,
         grid=(R // tile,),
         in_specs=[
@@ -81,10 +91,10 @@ def _mlp_call(x2, w1, b1, w2, b2):
 
 
 @functools.lru_cache(maxsize=None)
-def _mlp_partitioned():
+def _mlp_partitioned(act="relu"):
     def impl(x, w1, b1, w2, b2):
         B, L, C = x.shape
-        y = _mlp_call(x.reshape(B * L, C), w1[0], b1[0], w2[0], b2[0])
+        y = _mlp_call(x.reshape(B * L, C), w1[0], b1[0], w2[0], b2[0], act)
         return y.reshape(B, L, C)
 
     return _batch_partitioned(
@@ -94,16 +104,17 @@ def _mlp_partitioned():
     )
 
 
-def _mlp_ref(x, w1, b1, w2, b2):
+def _mlp_ref(x, w1, b1, w2, b2, act="relu"):
     """Plain-XLA reference — the exact math of
-    Dense(F)(x) |> relu |> Dense(C), including the bf16 intermediate cast
-    flax emits under mixed precision."""
+    Dense(F)(x) |> act |> Dense(C), including the bf16 intermediate cast
+    flax emits under mixed precision (activation applied on the f32
+    accumulator, same order as the kernel)."""
     h = jax.lax.dot_general(
         x, w1.astype(x.dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1.astype(jnp.float32)
-    h = jnp.maximum(h, 0.0).astype(x.dtype)
+    h = _apply_act(h, act).astype(x.dtype)
     o = jax.lax.dot_general(
         h, w2.astype(x.dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
@@ -112,33 +123,39 @@ def _mlp_ref(x, w1, b1, w2, b2):
     return o.astype(x.dtype)
 
 
-@jax.custom_vjp
-def fused_mlp(x, w1, b1, w2, b2):
-    """relu MLP over the last axis.  x: (B, L, C); w1: (C, F); w2: (F, C).
-    Pallas fused path on TPU under MLP_PALLAS=1 for big streams; identical-
-    math XLA fallback otherwise."""
-    B, L, C = x.shape
-    if not bool(int(os.environ.get("MLP_PALLAS", "0"))) or B * L < 8192:
-        return _mlp_ref(x, w1, b1, w2, b2)
-    F = w1.shape[1]
-    dt = x.dtype
-    return _mlp_partitioned()(
-        x,
-        jnp.broadcast_to(w1.astype(dt)[None], (B,) + w1.shape),
-        jnp.broadcast_to(b1.reshape(1, 1, F), (B, 1, F)),
-        jnp.broadcast_to(w2.astype(dt)[None], (B,) + w2.shape),
-        jnp.broadcast_to(b2.reshape(1, 1, C), (B, 1, C)),
-    )
+@functools.lru_cache(maxsize=None)
+def _fused_mlp_for(act: str):
+    @jax.custom_vjp
+    def _fused(x, w1, b1, w2, b2):
+        B, L, C = x.shape
+        if not bool(int(os.environ.get("MLP_PALLAS", "0"))) or B * L < 8192:
+            return _mlp_ref(x, w1, b1, w2, b2, act)
+        F = w1.shape[1]
+        dt = x.dtype
+        return _mlp_partitioned(act)(
+            x,
+            jnp.broadcast_to(w1.astype(dt)[None], (B,) + w1.shape),
+            jnp.broadcast_to(b1.reshape(1, 1, F), (B, 1, F)),
+            jnp.broadcast_to(w2.astype(dt)[None], (B,) + w2.shape),
+            jnp.broadcast_to(b2.reshape(1, 1, C), (B, 1, C)),
+        )
+
+    def _fwd(x, w1, b1, w2, b2):
+        return _fused(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+    def _bwd(res, g):
+        x, w1, b1, w2, b2 = res
+        _, vjp = jax.vjp(
+            lambda *a: _mlp_ref(*a, act), x, w1, b1, w2, b2)
+        return vjp(g)
+
+    _fused.defvjp(_fwd, _bwd)
+    return _fused
 
 
-def _mlp_fwd(x, w1, b1, w2, b2):
-    return fused_mlp(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
-
-
-def _mlp_bwd(res, g):
-    x, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(_mlp_ref, x, w1, b1, w2, b2)
-    return vjp(g)
-
-
-fused_mlp.defvjp(_mlp_fwd, _mlp_bwd)
+def fused_mlp(x, w1, b1, w2, b2, activation="relu"):
+    """Two-dot MLP over the last axis.  x: (B, L, C); w1: (C, F);
+    w2: (F, C); activation 'relu' (encoder FFN) or 'gelu' (Swin MLP).
+    Pallas fused path on TPU under MLP_PALLAS=1 for big streams;
+    identical-math XLA fallback otherwise."""
+    return _fused_mlp_for(activation)(x, w1, b1, w2, b2)

@@ -101,6 +101,73 @@ def test_fused_mlp_sharded(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
+def _flax_gelu_chain(x, w1, b1, w2, b2):
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, a):
+            h = nn.Dense(w1.shape[1], name="l1")(a)
+            h = nn.gelu(h, approximate=False)
+            return nn.Dense(w2.shape[1], name="l2")(h)
+
+    params = {
+        "l1": {"kernel": w1, "bias": b1},
+        "l2": {"kernel": w2, "bias": b2},
+    }
+    return M().apply({"params": params}, x)
+
+
+def test_fused_mlp_gelu_forward_and_grad_parity(monkeypatch):
+    """activation='gelu' (the Swin MLP form) vs the Dense/gelu/Dense chain."""
+    monkeypatch.setenv("MLP_PALLAS", "1")
+    from open_groundingdino_tpu.ops.mlp_pallas import fused_mlp
+
+    x, w1, b1, w2, b2 = _inputs(7, jnp.float32)
+    got = jax.jit(lambda *a: fused_mlp(*a, activation="gelu"))(
+        x, w1, b1, w2, b2)
+    want = _flax_gelu_chain(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    g = jnp.asarray(np.random.RandomState(8).randn(*got.shape), jnp.float32)
+    grads = jax.grad(
+        lambda *a: jnp.sum(fused_mlp(*a, activation="gelu") * g),
+        argnums=(0, 1, 2, 3, 4),
+    )(x, w1, b1, w2, b2)
+    wants = jax.grad(
+        lambda *a: jnp.sum(_flax_gelu_chain(*a) * g), argnums=(0, 1, 2, 3, 4)
+    )(x, w1, b1, w2, b2)
+    for gv, wv in zip(grads, wants):
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_swin_block_mlp_pallas_matches_default(monkeypatch):
+    """SwinBlock under MLP_PALLAS=1 vs default: same param tree, same
+    outputs (stream below the size gate falls back — use L >= 8192)."""
+    from open_groundingdino_tpu.models.swin import SwinBlock
+
+    B, C = 1, 16
+    H = W = 96  # L = 9216 >= 8192 engages the fused path
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(B, H * W, C), jnp.float32)
+
+    def build(env):
+        monkeypatch.setenv("MLP_PALLAS", env)
+        blk = SwinBlock(dim=C, num_heads=4, window_size=8, shift_size=0,
+                        mlp_ratio=2.0, qkv_bias=True, H=H, W=W)
+        p = blk.init(jax.random.PRNGKey(0), x)
+        return p, blk.apply(p, x)
+
+    p0, out0 = build("0")
+    p1, out1 = build("1")
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(
+        np.asarray(out0), np.asarray(out1), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_encoder_layer_mlp_pallas_matches_default(monkeypatch):
     """DeformableEncoderLayer under MLP_PALLAS=1 vs default: same param
     tree, same outputs (the fused path only reorders the bias-add
