@@ -70,6 +70,16 @@ Shapes = Tuple[Tuple[int, int], ...]
 BAND = int(os.environ.get("MSDA_BAND", "4"))
 
 
+def _ssa_band() -> bool:
+    """SSA-accumulate band rows in the fwd window bodies (one scratch RMW
+    per window) — default OFF: the per-row-RMW form is the program the
+    27.761 img/s driver bench measured, and the SSA form has never compiled
+    on real Mosaic (the tunnel dropped before its A/B; interpret-mode
+    parity is green both ways).  Read at kernel-trace time so tests can
+    flip it; flip the default after measuring."""
+    return bool(int(os.environ.get("MSDA_SSA_BAND", "0")))
+
+
 def _banded_prep(locs_t, attn_t, spatial_shapes):
     """Kernel-layout separable factors.
 
@@ -197,16 +207,23 @@ def _msda_banded_kernel(
                     preferred_element_type=jnp.float32,
                 )  # (band*D, 128)
                 yb = ybase.astype(jnp.float32)
-                # SSA-accumulate the band rows; one scratch RMW per window
-                # (see the MP kernel note)
-                local = None
-                for r in range(band):
-                    wy = jnp.maximum(
-                        1.0 - jnp.abs(py - (yb + r)), 0.0
-                    ) * wa                                     # (1, 128)
-                    term = wy * C[r * D : (r + 1) * D, :]
-                    local = term if local is None else local + term
-                acc_ref[:] = acc_ref[:] + local
+                if _ssa_band():
+                    # SSA-accumulate the band rows; one scratch RMW per
+                    # window (see the MP kernel note)
+                    local = None
+                    for r in range(band):
+                        wy = jnp.maximum(
+                            1.0 - jnp.abs(py - (yb + r)), 0.0
+                        ) * wa                                 # (1, 128)
+                        term = wy * C[r * D : (r + 1) * D, :]
+                        local = term if local is None else local + term
+                    acc_ref[:] = acc_ref[:] + local
+                else:  # per-row RMW — the measured-27.761 form
+                    for r in range(band):
+                        wy = jnp.maximum(
+                            1.0 - jnp.abs(py - (yb + r)), 0.0
+                        ) * wa                                 # (1, 128)
+                        acc_ref[:] = acc_ref[:] + wy * C[r * D : (r + 1) * D, :]
                 return 0
 
             jax.lax.fori_loop(0, n_it, band_body, 0)
@@ -371,18 +388,25 @@ def _msda_banded_mp_kernel(
                 preferred_element_type=jnp.float32,
             )  # (band*D, P*128)
             yb = ybase.astype(jnp.float32)
-            # accumulate the band's rows in SSA registers and touch the
-            # scratch ONCE per window: band read-modify-writes of the
-            # (D, P*128) acc (64 vregs each) were the dominant VMEM
-            # round-trip in the window body
-            local = None
-            for r in range(band):
-                wy = jnp.maximum(
-                    1.0 - jnp.abs(py - (yb + r)), 0.0
-                ) * wa                                     # (1, P*128)
-                term = wy * C[r * D : (r + 1) * D, :]
-                local = term if local is None else local + term
-            acc_ref[:] = acc_ref[:] + local
+            if _ssa_band():
+                # accumulate the band's rows in SSA registers and touch
+                # the scratch ONCE per window: band read-modify-writes of
+                # the (D, P*128) acc (64 vregs each) were hypothesized as
+                # the dominant VMEM round-trip in the window body
+                local = None
+                for r in range(band):
+                    wy = jnp.maximum(
+                        1.0 - jnp.abs(py - (yb + r)), 0.0
+                    ) * wa                                 # (1, P*128)
+                    term = wy * C[r * D : (r + 1) * D, :]
+                    local = term if local is None else local + term
+                acc_ref[:] = acc_ref[:] + local
+            else:  # per-row RMW — the measured-27.761 form
+                for r in range(band):
+                    wy = jnp.maximum(
+                        1.0 - jnp.abs(py - (yb + r)), 0.0
+                    ) * wa                                 # (1, P*128)
+                    acc_ref[:] = acc_ref[:] + wy * C[r * D : (r + 1) * D, :]
             return 0
 
         jax.lax.fori_loop(0, n_it, band_body, 0)

@@ -243,3 +243,26 @@ def test_banded_sorted_decoder_queries():
         )
     ))(jnp.asarray(locs))
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("mp", ["0", "1"])
+def test_banded_forward_ssa_band_gate_parity(mp, monkeypatch):
+    """MSDA_SSA_BAND=1 (one scratch RMW per window) must match the default
+    per-row-RMW form on both the single-point and multi-point kernels —
+    the gate guards an unmeasured on-chip candidate (see ops/msda_banded
+    _ssa_band)."""
+    monkeypatch.setenv("MSDA_BANDED_MP", mp)
+    v_t, locs, attn = _inputs(5)
+
+    def run():
+        return jax.jit(
+            lambda vs, l, a: ms_deform_attn_banded(vs, SHAPES, l, a, NP)
+        )(_banded_values(v_t), locs, attn)
+
+    monkeypatch.setenv("MSDA_SSA_BAND", "0")
+    base = np.asarray(run())
+    monkeypatch.setenv("MSDA_SSA_BAND", "1")
+    ssa = np.asarray(run())
+    np.testing.assert_allclose(ssa, base, rtol=1e-5, atol=1e-5)
+    ref = _xla_ref_dq(v_t, locs, attn)
+    np.testing.assert_allclose(base, np.asarray(ref), rtol=1e-4, atol=1e-4)
