@@ -1,0 +1,51 @@
+"""Measured-defaults contract: the env-gate defaults compiled into the
+package must stay exactly the configuration the driver bench measured
+(BENCH_NOTES round-3 trail, 27.761 img/s fwd / 0.622 s train step).
+
+Round 1 shipped an unmeasured kernel rewrite at HEAD and the recorded
+bench regressed 9.05 -> 6.39 (VERDICT r1); this test makes that mistake
+loud: flipping any default requires editing BOTH the source and this
+table, and the table's docstring demands a same-day on-chip A/B number."""
+import re
+from pathlib import Path
+
+SRC = Path(__file__).resolve().parents[1] / "open_groundingdino_tpu"
+
+# gate -> default the bench measured (flip ONLY with a new measured row in
+# BENCH_NOTES.md)
+MEASURED_DEFAULTS = {
+    "MSDA_BANDED": "1",
+    "MSDA_BANDED_DEC": "1",
+    "MSDA_BANDED_MP": "1",
+    "MSDA_BANDED_BWD": "1",
+    "MSDA_BANDED_MP_BWD": "0",   # 13.4 s/step dead end; restructure unmeasured
+    "MSDA_DEC_SORT_ONCE": "1",
+    "MSDA_SSA_BAND": "0",        # unmeasured (tunnel down)
+    "MSDA_BAND": "4",
+    "LN_PALLAS": "0",            # measured dead end (26.51 vs 27.84)
+    "LN_PALLAS_RES": "0",        # unmeasured
+    "MLP_PALLAS": "0",           # unmeasured
+    "SWIN_BHND": "0",            # unmeasured
+    "REMAT_SAVE_KERNELS": "0",   # unmeasured
+}
+
+GATE_RE = re.compile(r"environ\.get\(\s*\"([A-Z0-9_]+)\"\s*,\s*\"([^\"]*)\"")
+
+
+def _collect():
+    found = {}
+    for p in SRC.rglob("*.py"):
+        for name, default in GATE_RE.findall(p.read_text()):
+            if name in MEASURED_DEFAULTS:
+                found.setdefault(name, set()).add(default)
+    return found
+
+
+def test_gate_defaults_match_measured_configuration():
+    found = _collect()
+    for name, want in MEASURED_DEFAULTS.items():
+        assert name in found, f"gate {name} no longer exists in source"
+        assert found[name] == {want}, (
+            f"{name} default changed to {found[name]} — measured default is "
+            f"{want!r}; land a measured BENCH_NOTES row before flipping"
+        )
