@@ -1,0 +1,33 @@
+#!/bin/bash
+# On-chip A/B queue for the env-gated kernel candidates (BENCH_NOTES.md
+# "Pending on-chip A/Bs").  Run from the repo root with the axon TPU
+# reachable; ONE TPU process at a time — this script serializes.
+#
+#   bash tools/ab_bench.sh [results_file]
+#
+# Each candidate flips exactly one gate against the measured-default
+# baseline (tests/test_gate_defaults.py).  Record wins by flipping the
+# default + adding a BENCH_NOTES trail row; record losses as dead ends.
+set -u
+R="${1:-/tmp/ab_results.log}"
+cd "$(dirname "$0")/.."
+
+run() {
+  local label="$1"; shift
+  echo "=== $label @ $(date +%H:%M:%S)" >> "$R"
+  timeout 2400 "$@" >> "$R" 2>&1
+  echo "rc=$? done @ $(date +%H:%M:%S)" >> "$R"
+}
+
+TRAIN=(python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py
+       --train --batch 4 --compute_dtype bfloat16)
+
+run "fwd-baseline-HEAD"      python bench.py
+run "fwd-LN_PALLAS_RES"      env LN_PALLAS_RES=1 python bench.py
+run "fwd-MLP_PALLAS"         env MLP_PALLAS=1 python bench.py
+run "fwd-SWIN_BHND"          env SWIN_BHND=1 python bench.py
+run "fwd-MSDA_SSA_BAND"      env MSDA_SSA_BAND=1 python bench.py
+run "train-baseline"         "${TRAIN[@]}"
+run "train-REMAT_SAVE"       env REMAT_SAVE_KERNELS=1 "${TRAIN[@]}"
+run "train-MSDA_BANDED_MP_BWD" env MSDA_BANDED_MP_BWD=1 "${TRAIN[@]}"
+echo "ALL DONE @ $(date +%H:%M:%S)" >> "$R"
