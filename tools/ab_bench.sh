@@ -30,4 +30,13 @@ run "fwd-MSDA_SSA_BAND"      env MSDA_SSA_BAND=1 python bench.py
 run "train-baseline"         "${TRAIN[@]}"
 run "train-REMAT_SAVE"       env REMAT_SAVE_KERNELS=1 "${TRAIN[@]}"
 run "train-MSDA_BANDED_MP_BWD" env MSDA_BANDED_MP_BWD=1 "${TRAIN[@]}"
+
+# Fresh attribution at the HEAD defaults (feeds the next optimization pick):
+PROF=(python tools/profile.py -c open_groundingdino_tpu/config/cfg_coco.py)
+run "profile-fwd-HEAD"       "${PROF[@]}" -o /tmp/trace_fwd_r3
+run "profile-train-HEAD"     "${PROF[@]}" -o /tmp/trace_train_r3 --train
+
+# Informational breadth datapoints (other model families, same kernels):
+run "fwd-swinb-info"   python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_swinb.py --batch 4 --compute_dtype bfloat16
+run "fwd-resnet50-info" python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_resnet50.py --batch 4 --compute_dtype bfloat16
 echo "ALL DONE @ $(date +%H:%M:%S)" >> "$R"
