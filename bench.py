@@ -25,8 +25,48 @@ import numpy as np
 A100_BASELINE_IPS = 9.0
 
 
+def _probe_platform(timeout_s: float = 90.0):
+    """First-device platform via a subprocess, or None if unreachable.
+
+    jax.devices() HANGS in-process when the axon tunnel is down (CLAUDE.md),
+    so the probe must run out-of-process under a hard timeout."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
+def _wait_for_device() -> str:
+    """Bounded wait for a reachable device (the axon tunnel flaps for hours
+    at a time; BENCH_TUNNEL_WAIT_S bounds how long we retry before giving
+    up with a clean error instead of hanging the driver)."""
+    budget = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "900"))
+    deadline = time.monotonic() + budget
+    while True:
+        plat = _probe_platform()
+        if plat is not None:
+            return plat
+        if time.monotonic() >= deadline:
+            print("bench.py: device unreachable (axon tunnel down) after "
+                  f"{budget:.0f}s of retries", file=sys.stderr)
+            sys.exit(3)
+        print("bench.py: device probe timed out; retrying "
+              f"(deadline in {deadline - time.monotonic():.0f}s)",
+              file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    _wait_for_device()
     import jax
     import jax.numpy as jnp
 

@@ -223,17 +223,22 @@ class SwinBlock(nn.Module):
         h = LayerNorm(epsilon=1e-5, name="norm2")(x)
         import os as _os2
 
-        if bool(int(_os2.environ.get("MLP_PALLAS", "0"))):
+        from ..ops.mlp_pallas import _gate_on
+
+        if _gate_on("MLP_PALLAS_SWIN"):
             # fused two-dot GELU MLP, (B*L, 4C) intermediate kept in VMEM
             # (ops/mlp_pallas.py; same param tree as the Dense chain) —
-            # engages on the big early-stage streams, size-gated otherwise
+            # engages on the big early-stage streams, size-gated otherwise.
+            # MLP_PALLAS_SWIN overrides MLP_PALLAS for this site so the
+            # on-chip A/B can attribute encoder-FFN vs Swin-MLP separately.
             from .deformable import _DenseParams
             from ..ops.mlp_pallas import fused_mlp
 
             F = int(C * self.mlp_ratio)
             k1, b1 = _DenseParams(C, F, name="fc1")()
             k2, b2 = _DenseParams(F, C, name="fc2")()
-            h = fused_mlp(h, k1, b1, k2, b2, activation="gelu")
+            h = fused_mlp(h, k1, b1, k2, b2, activation="gelu",
+                          gate_env="MLP_PALLAS_SWIN")
         else:
             h = nn.Dense(int(C * self.mlp_ratio), name="fc1")(h)
             h = nn.gelu(h, approximate=False)

@@ -123,12 +123,23 @@ def _mlp_ref(x, w1, b1, w2, b2, act="relu"):
     return o.astype(x.dtype)
 
 
+def _gate_on(gate_env: str) -> bool:
+    """Gate value for a fused-MLP call site.  A site-specific env var
+    (e.g. MLP_PALLAS_SWIN) overrides the global MLP_PALLAS when set, so
+    the on-chip A/B can attribute encoder-FFN vs Swin-MLP effects
+    separately; unset, every site follows MLP_PALLAS."""
+    v = os.environ.get(gate_env)
+    if gate_env != "MLP_PALLAS" and v is None:
+        v = os.environ.get("MLP_PALLAS")
+    return bool(int(v or "0"))
+
+
 @functools.lru_cache(maxsize=None)
-def _fused_mlp_for(act: str):
+def _fused_mlp_for(act: str, gate_env: str = "MLP_PALLAS"):
     @jax.custom_vjp
     def _fused(x, w1, b1, w2, b2):
         B, L, C = x.shape
-        if not bool(int(os.environ.get("MLP_PALLAS", "0"))) or B * L < 8192:
+        if not _gate_on(gate_env) or B * L < 8192:
             return _mlp_ref(x, w1, b1, w2, b2, act)
         F = w1.shape[1]
         dt = x.dtype
@@ -153,9 +164,10 @@ def _fused_mlp_for(act: str):
     return _fused
 
 
-def fused_mlp(x, w1, b1, w2, b2, activation="relu"):
+def fused_mlp(x, w1, b1, w2, b2, activation="relu", gate_env="MLP_PALLAS"):
     """Two-dot MLP over the last axis.  x: (B, L, C); w1: (C, F);
     w2: (F, C); activation 'relu' (encoder FFN) or 'gelu' (Swin MLP).
-    Pallas fused path on TPU under MLP_PALLAS=1 for big streams;
-    identical-math XLA fallback otherwise."""
-    return _fused_mlp_for(activation)(x, w1, b1, w2, b2)
+    Pallas fused path on TPU under the gate env var (default MLP_PALLAS;
+    site-specific gates fall back to MLP_PALLAS when unset) for big
+    streams; identical-math XLA fallback otherwise."""
+    return _fused_mlp_for(activation, gate_env)(x, w1, b1, w2, b2)

@@ -201,3 +201,23 @@ def test_encoder_layer_mlp_pallas_matches_default(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out0), np.asarray(out1), rtol=2e-5, atol=2e-5
     )
+
+
+def test_swin_site_gate_semantics(monkeypatch):
+    """MLP_PALLAS_SWIN pins the Swin call site independently for the
+    on-chip A/B: unset it follows MLP_PALLAS; set, it overrides —
+    so `MLP_PALLAS=1 MLP_PALLAS_SWIN=0` measures the encoder FFN alone."""
+    from open_groundingdino_tpu.ops.mlp_pallas import _gate_on
+
+    monkeypatch.delenv("MLP_PALLAS", raising=False)
+    monkeypatch.delenv("MLP_PALLAS_SWIN", raising=False)
+    assert not _gate_on("MLP_PALLAS_SWIN")      # measured default: off
+    monkeypatch.setenv("MLP_PALLAS", "1")
+    assert _gate_on("MLP_PALLAS_SWIN")          # follows the global gate
+    assert _gate_on("MLP_PALLAS")
+    monkeypatch.setenv("MLP_PALLAS_SWIN", "0")
+    assert not _gate_on("MLP_PALLAS_SWIN")      # site override wins
+    assert _gate_on("MLP_PALLAS")
+    monkeypatch.setenv("MLP_PALLAS", "0")
+    monkeypatch.setenv("MLP_PALLAS_SWIN", "1")
+    assert _gate_on("MLP_PALLAS_SWIN")

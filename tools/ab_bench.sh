@@ -25,6 +25,7 @@ TRAIN=(python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py
 run "fwd-baseline-HEAD"      python bench.py
 run "fwd-LN_PALLAS_RES"      env LN_PALLAS_RES=1 python bench.py
 run "fwd-MLP_PALLAS"         env MLP_PALLAS=1 python bench.py
+run "fwd-MLP_PALLAS-enconly" env MLP_PALLAS=1 MLP_PALLAS_SWIN=0 python bench.py
 run "fwd-SWIN_BHND"          env SWIN_BHND=1 python bench.py
 run "fwd-MSDA_SSA_BAND"      env MSDA_SSA_BAND=1 python bench.py
 run "train-baseline"         "${TRAIN[@]}"
