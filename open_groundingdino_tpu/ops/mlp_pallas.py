@@ -36,12 +36,29 @@ from .msda_pallas import _batch_partitioned
 from .tiling import pick_row_tile
 
 
-def _apply_act(h, act: str):
+def _erf_poly(x):
+    """erf via the Abramowitz-Stegun 7.1.26 rational approximation
+    (|err| <= 1.5e-7): Mosaic's TPU lowering has no `erf` primitive
+    (NotImplementedError at trace time on real hardware — interpret mode
+    hides it), but abs/where/exp and polynomials all lower fine."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-(ax * ax))
+    return jnp.where(x >= 0, y, -y)
+
+
+def _apply_act(h, act: str, in_kernel: bool = False):
     """Activation on the f32 accumulator (caller casts after)."""
     if act == "relu":
         return jnp.maximum(h, 0.0)
     if act == "gelu":  # exact (erf) form, matching nn.gelu(approximate=False)
-        return 0.5 * h * (1.0 + jax.lax.erf(h * (1.0 / math.sqrt(2.0))))
+        erf = _erf_poly if in_kernel else jax.lax.erf
+        return 0.5 * h * (1.0 + erf(h * (1.0 / math.sqrt(2.0))))
     raise ValueError(f"unsupported activation {act!r}")
 
 
@@ -52,7 +69,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, act):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[...].astype(jnp.float32)              # (TILE, F) f32
-    h = _apply_act(h, act).astype(w2_ref.dtype)      # act, cast like XLA
+    h = _apply_act(h, act, in_kernel=True).astype(w2_ref.dtype)
     o = jax.lax.dot_general(
         h, w2_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
