@@ -261,6 +261,17 @@ class MSDeformAttn(nn.Module):
             out_dq = fn(
                 tuple(values), spatial_shapes, locs_t, attn_t, P, band
             )  # (BH, D, Q)
+            # Remat policy hook: naming the RAW kernel output (before the
+            # output projection) lets save_only_these_names("msda_out")
+            # keep the backward from replaying the Pallas kernel — the
+            # projection's weight grad reads this saved tensor, and the
+            # kernel's own bwd residuals (values/px/py/wa) are cheap XLA
+            # prep that recomputes without the kernel (DCE drops the
+            # pallas_call from the replayed fwd).  Naming only the
+            # post-projection tensor (the round-3 first attempt) still
+            # replayed the kernel: the projection bwd needed its input.
+            from jax.ad_checkpoint import checkpoint_name as _ckpt_nm
+            out_dq = _ckpt_nm(out_dq, "msda_out")
             out4 = out_dq.reshape(B, H, D, Q)
             return jnp.einsum(
                 "bhdq,hdf->bqf", out4, k.reshape(H, D, C).astype(out4.dtype)
@@ -269,6 +280,8 @@ class MSDeformAttn(nn.Module):
         out = ms_deform_attn_pallas_t(
             v_t, spatial_shapes, locs_t, attn_t, self.value_layout
         )  # (BH, Q, D)
+        from jax.ad_checkpoint import checkpoint_name as _ckpt_nm
+        out = _ckpt_nm(out, "msda_out")  # see banded branch comment
         out4 = out.reshape(B, H, Q, D)
         return jnp.einsum(
             "bhqd,hdf->bqf", out4, k.reshape(H, D, C).astype(out4.dtype)

@@ -204,11 +204,10 @@ class DeformableEncoderLayer(nn.Module):
             presorted_queries=True,
             name="self_attn",
         )(src + pos, value, reference_points, self.spatial_shapes, key_padding_mask)
-        # named so the remat policy can SAVE the MSDA kernel output instead
-        # of re-running the deformable kernel during backward (~48 ms of
-        # recompute per train step at bench shapes for ~41 MB x 6 layers)
-        from jax.ad_checkpoint import checkpoint_name as _ckpt_nm
-        src2 = _ckpt_nm(src2, "msda_out")
+        # the "msda_out" remat-policy name lives on the RAW kernel output
+        # inside MSDeformAttn (models/deformable.py) — naming src2 here
+        # (post output_proj) still replayed the kernel in the backward,
+        # because the projection's weight grad needed its unsaved input
         src = LayerNorm(epsilon=1e-5, name="norm1")(src, src2)
         import os as _os1
 
@@ -395,11 +394,14 @@ class Transformer(nn.Module):
         # remat policy: rematerialize everything EXCEPT the named Pallas
         # kernel outputs — re-running the deformable/fusion kernels in the
         # backward costs far more than storing their activations.  Default
-        # OFF until the on-chip train A/B lands (the tunnel dropped mid-
-        # measurement); REMAT_SAVE_KERNELS=1 enables it.
+        # ON since the 2026-08-19 on-chip A/B: 0.6162 vs 0.6270 s/step wall,
+        # and -58 ms/step DEVICE busy (self_attn kernel replays 18 -> 12
+        # per step) once the "msda_out" name moved onto the raw kernel
+        # output; the wall delta is smaller than the device delta because
+        # the bench step is partly host-transfer-bound on the axon tunnel.
         import os as _os0
 
-        if bool(int(_os0.environ.get("REMAT_SAVE_KERNELS", "0"))):
+        if bool(int(_os0.environ.get("REMAT_SAVE_KERNELS", "1"))):
             _policy = jax.checkpoint_policies.save_only_these_names(
                 "msda_out", "fusion_attn_out"
             )

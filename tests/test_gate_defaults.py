@@ -26,7 +26,7 @@ MEASURED_DEFAULTS = {
     "LN_PALLAS_RES": "0",        # unmeasured
     "MLP_PALLAS": "0",           # unmeasured
     "SWIN_BHND": "0",            # unmeasured
-    "REMAT_SAVE_KERNELS": "0",   # unmeasured
+    "REMAT_SAVE_KERNELS": "1",   # measured 0.6162 vs 0.6270 s/step (2026-08-19)
 }
 
 GATE_RE = re.compile(r"environ\.get\(\s*\"([A-Z0-9_]+)\"\s*,\s*\"([^\"]*)\"")
