@@ -301,15 +301,27 @@ def main(cli):
         logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
 
     state = replicate_tree(state, mesh)
-    train_step = jax.jit(
-        make_train_step(
-            model, crit, compute_dtype=compute_dtype,
-            ema_decay=float(getattr(args, "ema_decay", 0.9997))
-            if use_ema else 0.0,
-            dropout_seed=cli.seed,
-        ),
-        donate_argnums=(0,),
+    step_kwargs = dict(
+        compute_dtype=compute_dtype,
+        ema_decay=float(getattr(args, "ema_decay", 0.9997)) if use_ema else 0.0,
+        dropout_seed=cli.seed,
     )
+    train_step = jax.jit(
+        make_train_step(model, crit, **step_kwargs), donate_argnums=(0,)
+    )
+    # steps_per_call > 1: lax.scan N optimizer steps per device dispatch
+    # (parallel/train_state.make_multi_train_step) — measured -10% wall
+    # per step at bench shapes (BENCH_NOTES 2026-08-19)
+    steps_per_call = int(getattr(args, "steps_per_call", 1))
+    multi_step = None
+    if steps_per_call > 1:
+        from open_groundingdino_tpu.parallel.train_state import (
+            make_multi_train_step,
+        )
+        multi_step = jax.jit(
+            make_multi_train_step(model, crit, steps_per_call, **step_kwargs),
+            donate_argnums=(0,),
+        )
 
     best = BestMetricHolder(use_ema=use_ema)
     for epoch in range(start_epoch, int(args.epochs)):
@@ -318,6 +330,7 @@ def main(cli):
         state, stats = train_one_epoch(
             train_step, state, train_loader, mesh, epoch, logger,
             max_steps=max_steps,
+            multi_step=multi_step, steps_per_call=steps_per_call,
         )
         logger.info(f"epoch {epoch} train stats: {stats} ({time.time()-t0:.1f}s)")
 

@@ -37,6 +37,9 @@ max_text_len = 256
 text_encoder_type = "bert-base-uncased"
 use_text_enhancer = True
 use_fusion_layer = True
+steps_per_call = 1               # optimizer steps per device dispatch
+                                 # (>1 scans N stacked batches per call;
+                                 # -10% wall/step measured on the tunnel)
 use_checkpoint = True            # remat fusion layers
 use_transformer_ckpt = True      # remat deformable encoder layers
 use_text_cross_attention = True

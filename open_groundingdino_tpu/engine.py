@@ -21,8 +21,28 @@ import numpy as np
 
 from .eval.coco_eval import CocoBboxEvaluator
 from .models.postprocess import PostProcess
-from .parallel.mesh import shard_batch
+from .parallel.mesh import shard_batch, shard_stacked_batch
 from .utils.logger import MetricLogger
+
+
+def _shape_key(batch) -> tuple:
+    return tuple(sorted((k, np.shape(v)) for k, v in batch.items()))
+
+
+def _chunk_same_shape(loader, n: int):
+    """Group consecutive loader batches into lists of up to n with identical
+    shapes (static buckets make long runs of equal shapes the common case);
+    a bucket switch flushes the current partial chunk."""
+    chunk, key = [], None
+    for batch in loader:
+        k = _shape_key(batch)
+        if chunk and (k != key or len(chunk) == n):
+            yield chunk
+            chunk = []
+        chunk.append(batch)
+        key = k
+    if chunk:
+        yield chunk
 
 
 def train_one_epoch(
@@ -34,40 +54,88 @@ def train_one_epoch(
     logger=None,
     print_freq: int = 50,
     max_steps: Optional[int] = None,
+    multi_step=None,
+    steps_per_call: int = 1,
 ):
+    """One epoch.  With steps_per_call > 1 (and `multi_step` = the jitted
+    make_multi_train_step(..., steps_per_call)), full chunks of same-shape
+    batches are stacked and dispatched as ONE device call — measured -10%
+    wall/step on the axon tunnel (BENCH_NOTES 2026-08-19); partial chunks
+    (epoch tail, bucket switches) fall back to the per-batch step."""
     metric_logger = MetricLogger(logger=logger)
     header = f"Epoch [{epoch}]"
     # nonfinite_count is cumulative across the training run (it rides the
     # checkpoint); abort on growth since epoch start, not on absolute value,
     # so resuming a checkpoint that once skipped a bad batch stays runnable
     base_nonfinite = int(jax.device_get(state.nonfinite_count))
-    for i, batch in enumerate(
-        metric_logger.log_every(loader, print_freq, header)
+    use_multi = multi_step is not None and steps_per_call > 1
+
+    def _check_and_log(metrics, idx=None):
+        pick = (lambda v: v if idx is None else v[idx])
+        host = {
+            k: float(pick(v)) for k, v in metrics.items()
+            if np.ndim(pick(v)) == 0
+        }
+        loss = host.get("loss", 0.0)
+        # the train step itself skips updates on non-finite loss/grads
+        # (train_state.py), so params are clean; the host aborts as soon
+        # as the counter is observed non-zero — within print_freq steps,
+        # with zero per-step device syncs
+        if (
+            not math.isfinite(loss)
+            or host.get("nonfinite_count", 0) > base_nonfinite
+        ):
+            (logger.error if logger else print)(
+                f"Loss is {loss} "
+                f"(nonfinite steps: {host.get('nonfinite_count', 0)}), "
+                f"stopping training: {host}"
+            )
+            sys.exit(1)
+        metric_logger.update(**{
+            k: v for k, v in host.items()
+            if k in ("loss", "loss_ce", "loss_bbox", "loss_giou", "grad_norm")
+        })
+
+    if not use_multi:
+        for i, batch in enumerate(
+            metric_logger.log_every(loader, print_freq, header)
+        ):
+            sharded = shard_batch(batch, mesh)
+            state, metrics = train_step(state, sharded)
+            if i % print_freq == 0:
+                _check_and_log(metrics)
+            if max_steps is not None and i + 1 >= max_steps:
+                break
+        stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
+        return state, stats
+
+    i = 0  # optimizer-step counter (log cadence/max_steps stay per STEP)
+    for chunk in metric_logger.log_every(
+        _chunk_same_shape(loader, steps_per_call), print_freq, header
     ):
-        sharded = shard_batch(batch, mesh)
-        state, metrics = train_step(state, sharded)
-        if i % print_freq == 0:
-            host = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
-            loss = host.get("loss", 0.0)
-            # the train step itself skips updates on non-finite loss/grads
-            # (train_state.py), so params are clean; the host aborts as soon
-            # as the counter is observed non-zero — within print_freq steps,
-            # with zero per-step device syncs
-            if (
-                not math.isfinite(loss)
-                or host.get("nonfinite_count", 0) > base_nonfinite
-            ):
-                (logger.error if logger else print)(
-                    f"Loss is {loss} "
-                    f"(nonfinite steps: {host.get('nonfinite_count', 0)}), "
-                    f"stopping training: {host}"
-                )
-                sys.exit(1)
-            metric_logger.update(**{
-                k: v for k, v in host.items()
-                if k in ("loss", "loss_ce", "loss_bbox", "loss_giou", "grad_norm")
-            })
-        if max_steps is not None and i + 1 >= max_steps:
+        if len(chunk) == steps_per_call and not (
+            max_steps is not None and i + len(chunk) > max_steps
+        ):
+            stacked = {
+                k: np.stack([b[k] for b in chunk]) for k in chunk[0]
+                if k not in ("image_ids", "orig_sizes", "label_maps", "n_real")
+            }
+            sharded = shard_stacked_batch(stacked, mesh)
+            state, metrics = multi_step(state, sharded)
+            for j in range(len(chunk)):
+                if (i + j) % print_freq == 0:
+                    _check_and_log(metrics, idx=j)
+            i += len(chunk)
+        else:
+            for b in chunk:
+                sharded = shard_batch(b, mesh)
+                state, metrics = train_step(state, sharded)
+                if i % print_freq == 0:
+                    _check_and_log(metrics)
+                i += 1
+                if max_steps is not None and i >= max_steps:
+                    break
+        if max_steps is not None and i >= max_steps:
             break
     stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
     return state, stats

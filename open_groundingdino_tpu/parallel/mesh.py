@@ -42,5 +42,18 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
+def shard_stacked_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Like shard_batch but for (steps_per_call, B, ...) stacked batches
+    (engine multi-step dispatch): the scan axis stays whole on every
+    device, the per-step batch dim shards on 'data'."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    out = {}
+    for k, v in batch.items():
+        if k in ("image_ids", "orig_sizes", "label_maps", "n_real"):
+            continue  # host-side metadata
+        out[k] = jax.device_put(np.asarray(v), sh)
+    return out
+
+
 def replicate_tree(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))

@@ -145,6 +145,32 @@ def make_train_step(model, criterion, compute_dtype=None,
     return train_step
 
 
+def make_multi_train_step(model, criterion, n_steps: int, **step_kwargs
+                          ) -> Callable:
+    """lax.scan over `n_steps` leading-axis-stacked batches: ONE device
+    dispatch (and one host sync point) per n_steps optimizer updates.
+
+    Amortizes per-execute host/runtime overhead — measured ~54 ms/step of
+    wall-vs-device gap on the axon tunnel at bench shapes (562 ms device
+    vs 616 ms wall, BENCH_NOTES 2026-08-19).  The per-step math is
+    identical to make_train_step (the scan body IS that function, traced
+    once): dropout stays keyed by the carried state.step, the non-finite
+    guard applies per inner step, and metrics come back with a leading
+    (n_steps,) axis so per-step logging is preserved.
+
+    batches: a batch dict whose every leaf is stacked to (n_steps, ...).
+    The reference has no equivalent (its DDP loop dispatches per step,
+    main.py:259-261); this is TPU-native dispatch amortization.
+    """
+    step = make_train_step(model, criterion, **step_kwargs)
+
+    def multi_step(state: TrainState, batches: Dict
+                   ) -> Tuple[TrainState, Dict]:
+        return jax.lax.scan(step, state, batches)
+
+    return multi_step
+
+
 def make_eval_step(model, criterion=None, compute_dtype=None) -> Callable:
     def eval_step(params, batch):
         model_inputs = {k: batch[k] for k in MODEL_INPUT_KEYS}

@@ -267,3 +267,51 @@ def test_bf16_train_step():
     assert np.isfinite(float(metrics["loss"]))
     # params remain fp32 masters
     assert new_state.params["feat_map"]["kernel"].dtype == jnp.float32
+
+
+def test_multi_step_matches_single_steps():
+    """make_multi_train_step (lax.scan, one dispatch per n steps) must be
+    numerically equivalent to running make_train_step n times: same
+    per-step losses and matching params (dropout is keyed by the carried
+    state.step, so the scan body sees the same rng sequence; XLA fuses
+    the scanned body differently, so the comparison is tight-tolerance
+    rather than bitwise)."""
+    from open_groundingdino_tpu.parallel.train_state import (
+        make_multi_train_step,
+    )
+
+    mesh = make_mesh()
+    model = _tiny_model()
+    crit = SetCriterion(num_queries=QN)
+    b0, b1 = _batch(11), _batch(12)
+    init_batch = {
+        k: v for k, v in b0.items()
+        if k not in ("gt_boxes", "gt_pos_maps", "gt_valid")
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(5), **init_batch)["params"]
+    tx = make_optimizer(params, lr=1e-3, lr_backbone=1e-4)
+
+    s_single = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, crit))
+    losses_single = []
+    for b in (b0, b1):
+        s_single, m = step(s_single, shard_batch(b, mesh))
+        losses_single.append(float(m["loss"]))
+
+    s_multi = TrainState.create(params, tx)
+    multi = jax.jit(make_multi_train_step(model, crit, 2))
+    stacked = {
+        k: np.stack([b0[k], b1[k]]) for k in b0
+    }
+    s_multi, ms = multi(s_multi, stacked)
+
+    assert int(s_multi.step) == 2
+    np.testing.assert_allclose(
+        np.asarray(ms["loss"]), np.asarray(losses_single), rtol=1e-6
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        ),
+        s_single.params, s_multi.params,
+    )

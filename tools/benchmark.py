@@ -71,27 +71,43 @@ def _bench_train(args, cfg, model, params, inputs, compute_dtype, nparam):
         clip_max_norm=float(cfg.clip_max_norm),
     )
     state = TrainState.create(params["params"], tx)
-    step_fn = jax.jit(
-        make_train_step(model, crit, compute_dtype=compute_dtype),
-        donate_argnums=(0,),
-    )
+    spc = max(args.steps_per_call, 1)
+    if spc > 1:
+        from open_groundingdino_tpu.parallel.train_state import (
+            make_multi_train_step,
+        )
+        step_fn = jax.jit(
+            make_multi_train_step(model, crit, spc,
+                                  compute_dtype=compute_dtype),
+            donate_argnums=(0,),
+        )
+        batch = {k: jnp.broadcast_to(v, (spc,) + v.shape)
+                 for k, v in batch.items()}
+    else:
+        step_fn = jax.jit(
+            make_train_step(model, crit, compute_dtype=compute_dtype),
+            donate_argnums=(0,),
+        )
 
     for _ in range(max(args.warmup, 1)):
         state, metrics = step_fn(state, batch)
-    float(metrics["loss"])  # host fetch fences the device queue (axon)
+    jax.tree_util.tree_map(
+        lambda x: np.asarray(x), metrics
+    )  # host fetch fences the device queue (axon)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = step_fn(state, batch)
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / args.iters
+    loss_last = np.asarray(metrics["loss"]).reshape(-1)[-1]
+    dt = (time.perf_counter() - t0) / (args.iters * spc)
 
     result = {
         "mode": "train",
         "nparam": nparam,
         "compute_dtype": "bfloat16" if compute_dtype is not None else "float32",
         "step_time_s": dt,
+        "steps_per_call": spc,
         "imgs_per_sec": B / dt,
-        "loss": float(metrics["loss"]),
+        "loss": float(loss_last),
         "shape": [B, args.height, args.width],
         "platform": jax.devices()[0].platform,
     }
@@ -111,6 +127,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--steps_per_call", type=int, default=1,
+                    help="train mode: optimizer steps per device dispatch "
+                         "(lax.scan over a stacked batch; amortizes "
+                         "per-execute host overhead)")
     ap.add_argument("--train", action="store_true",
                     help="time the full train step (fwd + on-device "
                          "Hungarian + bwd + clip + AdamW) instead of the "
