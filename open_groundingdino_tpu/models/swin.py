@@ -109,8 +109,11 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, attn_mask=None):
-        """x: (B_, N, C) windows; attn_mask: (nW, N, N) static or None."""
+    def __call__(self, x, attn_mask=None, n_windows=0, shift_spec=None):
+        """x: (B_, N, C) windows; attn_mask: (nW, N, N) static or None.
+
+        n_windows/shift_spec feed the SWIN_ATTN_PALLAS fused kernel
+        (ops/swin_attn_pallas.py); the XLA paths use only attn_mask."""
         B_, N, C = x.shape
         H = self.num_heads
         D = C // H
@@ -136,7 +139,71 @@ class WindowAttention(nn.Module):
         import os as _os
 
         bhnd = bool(int(_os.environ.get("SWIN_BHND", "0")))
+        headloop = bool(int(_os.environ.get("SWIN_HEADLOOP", "1")))
+        attn_pallas = bool(int(_os.environ.get("SWIN_ATTN_PALLAS", "0")))
         scale = jnp.asarray(D ** -0.5, x.dtype)
+        if attn_pallas and n_windows and N <= 64:
+            # fused window-attention kernel: q/k/v stay (B_, N, C) plain
+            # matmul outputs (no per-head tensors in XLA at all); bias/
+            # mask/softmax/AV fused in-kernel (ops/swin_attn_pallas.py)
+            from ..ops.swin_attn_pallas import swin_window_attention_fused
+
+            qkv_flat = [
+                jnp.einsum("bnc,cf->bnf", x, wqkv[:, i].reshape(C, C))
+                + bqkv[i].reshape(C)
+                for i in range(3)
+            ]
+            table = self.param(
+                "relative_position_bias_table",
+                nn.initializers.truncated_normal(0.02),
+                ((2 * ws - 1) * (2 * ws - 1), H),
+            )
+            rel_idx = _relative_position_index(ws).reshape(-1)
+            bias = jnp.transpose(
+                table[rel_idx].reshape(N, N, H), (2, 0, 1)
+            ).astype(jnp.float32)                        # (H, N, N)
+            out = swin_window_attention_fused(
+                qkv_flat[0], qkv_flat[1], qkv_flat[2], bias, H,
+                n_windows, shift_spec,
+            )
+            return nn.Dense(C, name="proj")(out)
+        if headloop:
+            # SWIN_HEADLOOP=1: never materialize a 4-D (B_, N, H, D) head
+            # split.  q/k/v are plain (B_, N, C) dense outputs (one dot each,
+            # natural row-major layout) and each head is a static lane slice
+            # fed to a 3-D batched dot — the 4-D forms profiled as ~0.42 ms
+            # relayout copies x ~26 per forward (bf16[5104,49,3,32]
+            # {0,3,2,1}->{1,3,2,0}).  Same contraction, same numerics.
+            qkv_flat = [
+                jnp.einsum("bnc,cf->bnf", x, wqkv[:, i].reshape(C, C))
+                + bqkv[i].reshape(C)
+                for i in range(3)
+            ]
+            table = self.param(
+                "relative_position_bias_table",
+                nn.initializers.truncated_normal(0.02),
+                ((2 * ws - 1) * (2 * ws - 1), H),
+            )
+            rel_idx = _relative_position_index(ws).reshape(-1)
+            bias = table[rel_idx].reshape(N, N, H)  # (N, N, H)
+            outs = []
+            for h in range(H):
+                qh, kh, vh = (
+                    jax.lax.slice_in_dim(t, h * D, (h + 1) * D, axis=2)
+                    for t in qkv_flat
+                )
+                attn = jnp.einsum("bnd,bmd->bnm", qh * scale, kh)
+                attn = attn + bias[:, :, h][None].astype(attn.dtype)
+                if attn_mask is not None:
+                    nW = attn_mask.shape[0]
+                    attn = attn.reshape(B_ // nW, nW, N, N) + jnp.asarray(
+                        attn_mask, attn.dtype
+                    )[None]
+                    attn = attn.reshape(B_, N, N)
+                attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+                outs.append(jnp.einsum("bnm,bmd->bnd", attn.astype(x.dtype), vh))
+            out = jnp.concatenate(outs, axis=-1)
+            return nn.Dense(C, name="proj")(out)
         if bhnd:
             def proj(i):
                 return (
@@ -205,13 +272,16 @@ class SwinBlock(nn.Module):
         if self.shift_size > 0:
             x = jnp.roll(x, (-self.shift_size, -self.shift_size), axis=(1, 2))
             mask = _shift_attn_mask(Hp, Wp, ws, self.shift_size)
+            shift_spec = (Hp, Wp, ws, self.shift_size)
         else:
             mask = None
+            shift_spec = None
 
         wins = window_partition(x, ws)
         wins = WindowAttention(
             self.dim, self.num_heads, ws, self.qkv_bias, name="attn"
-        )(wins, mask)
+        )(wins, mask, n_windows=(Hp // ws) * (Wp // ws),
+          shift_spec=shift_spec)
         x = window_reverse(wins, ws, B, Hp, Wp)
 
         if self.shift_size > 0:

@@ -418,6 +418,88 @@ def _msda_banded_mp_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _msda_banded_mp_v2_kernel(
+    ranges_ref,   # scalar prefetch (BH*nqb*NL*2,) int32
+    *refs,
+    spatial_shapes: Shapes,
+    bands: Tuple[int, ...],
+    n_points: int,
+):
+    """MSDA_MP_V2=1 variant of _msda_banded_mp_kernel: the per-level column
+    positions arrive PRE-TILED as constant operands (NL extra refs of
+    (W_l, P*QBLOCK) f32, constant block index -> fetched once), so the sx
+    build is ONE fused relu chain over (W, P*128) instead of P per-point
+    builds + P-1 in-register lane concats of ~19-sublane-tile blocks + a
+    per-grid-step iota rebuild.  Same math, same band_body."""
+    NL = len(spatial_shapes)
+    values = refs[:NL]
+    colpos_refs = refs[NL : 2 * NL]
+    px_ref, py_ref, wa_ref, out_ref, acc_ref = refs[2 * NL : 2 * NL + 5]
+    D = out_ref.shape[1]
+    P = n_points
+    PQ = P * QBLOCK
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+    rbase = (bh * nqb + qb) * NL * 2
+
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        band = bands[lvl]
+        vref = values[lvl]
+        bf16 = vref.dtype == jnp.bfloat16
+
+        ts = [lvl * P + p for p in range(P)]
+        px_cat = jnp.concatenate(
+            [px_ref[0, t : t + 1, :] for t in ts], axis=1
+        )                                     # (1, P*128)
+        sx = jnp.maximum(1.0 - jnp.abs(px_cat - colpos_refs[lvl][:]), 0.0)
+        py = jnp.concatenate(
+            [py_ref[0, t : t + 1, :] for t in ts], axis=1
+        )                                     # (1, P*128)
+        wa = jnp.concatenate(
+            [wa_ref[0, t : t + 1, :] for t in ts], axis=1
+        )
+        sx_mm = sx.astype(jnp.bfloat16) if bf16 else sx
+
+        ylo = ranges_ref[rbase + 2 * lvl]
+        n_it = ranges_ref[rbase + 2 * lvl + 1]
+
+        def band_body(bi, _, ylo=ylo, band=band, vref=vref,
+                      sx_mm=sx_mm, py=py, wa=wa):
+            ybase = ylo + bi * band
+            A = vref[0, pl.ds(ybase * D, band * D), :]  # (band*D, W)
+            C = jax.lax.dot_general(
+                A, sx_mm,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=(jax.lax.Precision.DEFAULT if bf16
+                           else jax.lax.Precision.HIGHEST),
+                preferred_element_type=jnp.float32,
+            )  # (band*D, P*128)
+            yb = ybase.astype(jnp.float32)
+            for r in range(band):
+                wy = jnp.maximum(
+                    1.0 - jnp.abs(py - (yb + r)), 0.0
+                ) * wa                                 # (1, P*128)
+                acc_ref[:] = acc_ref[:] + wy * C[r * D : (r + 1) * D, :]
+            return 0
+
+        jax.lax.fori_loop(0, n_it, band_body, 0)
+
+    acc = acc_ref[:]
+    out = acc[:, 0:QBLOCK]
+    for p in range(1, P):
+        out = out + acc[:, p * QBLOCK : (p + 1) * QBLOCK]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _mp_v2() -> bool:
+    """MSDA_MP_V2=1: constant-operand colpos + single-chain sx build in the
+    MP forward kernel.  Default OFF until a measured BENCH_NOTES row."""
+    return bool(int(os.environ.get("MSDA_MP_V2", "0")))
+
+
 def _banded_mp_call(values, px, py, wa, ranges, spatial_shapes,
                     n_points, band):
     """values: per-level (BH, (H_l+band-1)*D, W_l); px/py/wa in the
@@ -429,9 +511,11 @@ def _banded_mp_call(values, px, py, wa, ranges, spatial_shapes,
     nqb = px.shape[-1] // QBLOCK
     bands = tuple(min(band, h) for h, w in spatial_shapes)
     D = values[0].shape[1] // (spatial_shapes[0][0] + bands[0] - 1)
+    v2 = _mp_v2()
 
     kernel = functools.partial(
-        _msda_banded_mp_kernel, spatial_shapes=spatial_shapes, bands=bands,
+        _msda_banded_mp_v2_kernel if v2 else _msda_banded_mp_kernel,
+        spatial_shapes=spatial_shapes, bands=bands,
         n_points=n_points,
     )
     interpret = jax.devices()[0].platform != "tpu"
@@ -439,7 +523,19 @@ def _banded_mp_call(values, px, py, wa, ranges, spatial_shapes,
         pl.BlockSpec((1, (h + b - 1) * D, w), (lambda bh, qb, r: (bh, 0, 0)),
                      memory_space=pltpu.VMEM)
         for (h, w), b in zip(spatial_shapes, bands)
-    ] + [
+    ]
+    extra_ops = []
+    if v2:
+        # pre-tiled column positions (XLA iota, not a numpy constant:
+        # custom_partitioning rejects jaxpr consts); constant block index
+        # -> fetched into VMEM once for the whole grid
+        for (h, w) in spatial_shapes:
+            extra_ops.append(jax.lax.broadcasted_iota(
+                jnp.float32, (w, P * QBLOCK), 0))
+            in_specs.append(pl.BlockSpec(
+                (w, P * QBLOCK), (lambda bh, qb, r: (0, 0)),
+                memory_space=pltpu.VMEM))
+    in_specs += [
         pl.BlockSpec((1, NL * P, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                      memory_space=pltpu.VMEM)
         for _ in range(3)
@@ -459,7 +555,7 @@ def _banded_mp_call(values, px, py, wa, ranges, spatial_shapes,
         out_shape=jax.ShapeDtypeStruct(
             (BH, D, nqb * QBLOCK), values[0].dtype
         ),
-    )(ranges, *values, px, py, wa)
+    )(ranges, *values, *extra_ops, px, py, wa)
 
 
 @functools.lru_cache(maxsize=None)
@@ -536,15 +632,21 @@ def _msda_banded_bwd_kernel(
     spatial_shapes: Shapes,
     bands: Tuple[int, ...],
     n_points: int,
+    colpos_operand: bool = False,
 ):
-    """Grid (BH, NQB).  refs = [value_l x NL, px, py, wa, g,
-    gv_l x NL, gpx, gpy, gwa].  gv blocks are revisited across the
-    sequential qb axis (zeroed at qb==0, read-modify-write after)."""
+    """Grid (BH, NQB).  refs = [value_l x NL, (colpos_l x NL if
+    colpos_operand), px, py, wa, g, gv_l x NL, gpx, gpy, gwa].  gv blocks
+    are revisited across the sequential qb axis (zeroed at qb==0,
+    read-modify-write after).  MSDA_BWD_V2=1 passes per-level column
+    positions as constant (W_l, QBLOCK) f32 operands instead of rebuilding
+    an iota+cast per (level, grid step)."""
     NL = len(spatial_shapes)
     values = refs[:NL]
-    px_ref, py_ref, wa_ref, g_ref = refs[NL : NL + 4]
-    gv = refs[NL + 4 : NL + 4 + NL]
-    gpx_ref, gpy_ref, gwa_ref = refs[NL + 4 + NL :]
+    ncp = NL if colpos_operand else 0
+    colpos_refs = refs[NL : NL + ncp]
+    px_ref, py_ref, wa_ref, g_ref = refs[NL + ncp : NL + ncp + 4]
+    gv = refs[NL + ncp + 4 : NL + ncp + 4 + NL]
+    gpx_ref, gpy_ref, gwa_ref = refs[NL + ncp + 4 + NL :]
     D = g_ref.shape[1]
     P = n_points
     bh = pl.program_id(0)
@@ -564,9 +666,12 @@ def _msda_banded_bwd_kernel(
         vref = values[lvl]
         gvref = gv[lvl]
         bf16 = vref.dtype == jnp.bfloat16
-        colpos = jax.lax.broadcasted_iota(
-            jnp.int32, (Wl, QBLOCK), 0
-        ).astype(jnp.float32)
+        if colpos_operand:
+            colpos = colpos_refs[lvl][:]
+        else:
+            colpos = jax.lax.broadcasted_iota(
+                jnp.int32, (Wl, QBLOCK), 0
+            ).astype(jnp.float32)
 
         for p in range(P):
             t = lvl * P + p
@@ -656,9 +761,10 @@ def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
     D = g.shape[1]
     NP = px.shape[1]
 
+    v2 = bool(int(os.environ.get("MSDA_BWD_V2", "0")))
     kernel = functools.partial(
         _msda_banded_bwd_kernel, spatial_shapes=spatial_shapes, bands=bands,
-        n_points=n_points,
+        n_points=n_points, colpos_operand=v2,
     )
     interpret = jax.devices()[0].platform != "tpu"
     val_specs = [
@@ -666,6 +772,14 @@ def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
                      memory_space=pltpu.VMEM)
         for (h, w), b in zip(spatial_shapes, bands)
     ]
+    extra_ops, extra_specs = [], []
+    if v2:
+        for (h, w) in spatial_shapes:
+            extra_ops.append(jax.lax.broadcasted_iota(
+                jnp.float32, (w, QBLOCK), 0))
+            extra_specs.append(pl.BlockSpec(
+                (w, QBLOCK), (lambda bh, qb, r: (0, 0)),
+                memory_space=pltpu.VMEM))
     tap_spec = lambda: pl.BlockSpec(
         (1, NP, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
         memory_space=pltpu.VMEM,
@@ -673,7 +787,7 @@ def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, nqb),
-        in_specs=val_specs + [
+        in_specs=val_specs + extra_specs + [
             tap_spec(), tap_spec(), tap_spec(),
             pl.BlockSpec((1, D, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
@@ -692,7 +806,7 @@ def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
         interpret=interpret,
         grid_spec=grid_spec,
         out_shape=out_shape,
-    )(ranges, *values, px, py, wa, g)
+    )(ranges, *values, *extra_ops, px, py, wa, g)
 
 
 @functools.lru_cache(maxsize=None)

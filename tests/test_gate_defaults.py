@@ -20,12 +20,17 @@ MEASURED_DEFAULTS = {
     "MSDA_BANDED_BWD": "1",
     "MSDA_BANDED_MP_BWD": "0",   # 13.4 s/step dead end; restructure unmeasured
     "MSDA_DEC_SORT_ONCE": "1",
-    "MSDA_SSA_BAND": "0",        # unmeasured (tunnel down)
+    "MSDA_SSA_BAND": "0",        # measured neutral (27.755, 2026-08-18)
+    "MSDA_MP_V2": "0",           # unmeasured (queued)
+    "MSDA_BWD_V2": "0",          # unmeasured (queued)
+    "SWIN_ATTN_PALLAS": "0",     # unmeasured (queued)
     "MSDA_BAND": "4",
     "LN_PALLAS": "0",            # measured dead end (26.51 vs 27.84)
     "LN_PALLAS_RES": "0",        # unmeasured
     "MLP_PALLAS": "0",           # unmeasured
-    "SWIN_BHND": "0",            # unmeasured
+    "SWIN_BHND": "0",            # measured neutral (27.832, 2026-08-18)
+    "SWIN_HEADLOOP": "1",        # measured 28.027 vs 27.779 fwd, train
+                                 # neutral 0.5627 vs 0.5639 (2026-08-19)
     "REMAT_SAVE_KERNELS": "1",   # measured 0.6162 vs 0.6270 s/step (2026-08-19)
 }
 

@@ -266,3 +266,37 @@ def test_banded_forward_ssa_band_gate_parity(mp, monkeypatch):
     np.testing.assert_allclose(ssa, base, rtol=1e-5, atol=1e-5)
     ref = _xla_ref_dq(v_t, locs, attn)
     np.testing.assert_allclose(base, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_banded_multipoint_v2_forward_parity(monkeypatch):
+    """MSDA_MP_V2=1 (constant-operand colpos + single-chain sx build) is a
+    pure restructuring of the MP forward — must match the XLA reference."""
+    monkeypatch.setenv("MSDA_BANDED_MP", "1")
+    monkeypatch.setenv("MSDA_MP_V2", "1")
+    v_t, locs, attn = _inputs(7)
+    out = jax.jit(
+        lambda vs, l, a: ms_deform_attn_banded(vs, SHAPES, l, a, NP)
+    )(_banded_values(v_t), locs, attn)
+    ref = _xla_ref_dq(v_t, locs, attn)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_banded_bwd_v2_grads_parity(monkeypatch):
+    """MSDA_BWD_V2=1 (constant-operand colpos in the per-point backward)
+    must produce identical gradients to the default backward."""
+    monkeypatch.setenv("MSDA_BANDED_BWD", "1")
+    v_t, locs, attn = _inputs(13)
+    vb = _banded_values(v_t)
+
+    def loss(vs, l, a):
+        return jnp.sum(ms_deform_attn_banded(vs, SHAPES, l, a, NP) ** 2)
+
+    monkeypatch.setenv("MSDA_BWD_V2", "0")
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
+    monkeypatch.setenv("MSDA_BWD_V2", "1")
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

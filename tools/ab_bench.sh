@@ -23,14 +23,14 @@ TRAIN=(python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py
        --train --batch 4 --compute_dtype bfloat16)
 
 run "fwd-baseline-HEAD"      python bench.py
-run "fwd-LN_PALLAS_RES"      env LN_PALLAS_RES=1 python bench.py
-run "fwd-MLP_PALLAS"         env MLP_PALLAS=1 python bench.py
-run "fwd-MLP_PALLAS-enconly" env MLP_PALLAS=1 MLP_PALLAS_SWIN=0 python bench.py
-run "fwd-SWIN_BHND"          env SWIN_BHND=1 python bench.py
-run "fwd-MSDA_SSA_BAND"      env MSDA_SSA_BAND=1 python bench.py
+run "fwd-MSDA_MP_V2"         env MSDA_MP_V2=1 python bench.py
+run "fwd-SWIN_ATTN_PALLAS"   env SWIN_ATTN_PALLAS=1 python bench.py
 run "train-baseline"         "${TRAIN[@]}"
-run "train-REMAT_SAVE"       env REMAT_SAVE_KERNELS=1 "${TRAIN[@]}"
-run "train-MSDA_BANDED_MP_BWD" env MSDA_BANDED_MP_BWD=1 "${TRAIN[@]}"
+run "train-MSDA_BWD_V2"      env MSDA_BWD_V2=1 "${TRAIN[@]}"
+run "train-SWIN_ATTN_PALLAS" env SWIN_ATTN_PALLAS=1 "${TRAIN[@]}"
+# measured 2026-08-18 (all dead-end/neutral, kept for re-checks):
+# LN_PALLAS_RES / MLP_PALLAS / MLP_PALLAS+MLP_PALLAS_SWIN=0 / SWIN_BHND /
+# MSDA_SSA_BAND / REMAT_SAVE_KERNELS (won, now default) / MSDA_BANDED_MP_BWD
 
 # Fresh attribution at the HEAD defaults (feeds the next optimization pick):
 PROF=(python tools/profile.py -c open_groundingdino_tpu/config/cfg_coco.py)

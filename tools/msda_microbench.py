@@ -20,6 +20,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--xla", action="store_true", help="also time XLA path")
+    ap.add_argument("--sweep", action="store_true",
+                    help="also time the legacy sweep kernel "
+                         "(ops/msda_pallas.py); the banded family "
+                         "(the production default) is always timed")
     ap.add_argument("--bwd", action="store_true", help="time fwd+bwd")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--spread", type=float, default=1.0,
@@ -113,23 +117,60 @@ def main():
         print(f"{name}: {best*1e3:.1f} ms/layer (min of {args.repeats})")
         return out
 
-    def pallas_fwd(v, l, a):
-        return ms_deform_attn_pallas(v, shapes, l, a)
+    # ---- banded kernel family (the production default since round 3):
+    # kernel-layout operands exactly as models/deformable.py emits them
+    from open_groundingdino_tpu.ops.msda_banded import ms_deform_attn_banded
 
-    o_p = time_fn("pallas fwd", pallas_fwd, value_j, locs_j, attn_j)
+    BH = B * H
+    v_bhdl = value.transpose(0, 2, 3, 1).reshape(BH, D, L)  # (BH, D, L)
+    banded_vals, start = [], 0
+    for (h, w) in shapes:
+        vl = v_bhdl[:, :, start : start + h * w].reshape(BH, D, h, w)
+        banded_vals.append(jnp.asarray(np.ascontiguousarray(
+            vl.transpose(0, 2, 1, 3).reshape(BH, h * D, w)
+        )).astype(vdtype))
+        start += h * w
+    banded_vals = tuple(banded_vals)
+    locs_t = jnp.asarray(np.ascontiguousarray(
+        locs.astype(np.float32).transpose(0, 2, 3, 4, 5, 1)
+        .reshape(BH, len(shapes), P, 2, Q)
+    ))
+    attn_t = jnp.asarray(np.ascontiguousarray(
+        attn.astype(np.float32).transpose(0, 2, 3, 4, 1)
+        .reshape(BH, len(shapes), P, Q)
+    )).astype(vdtype)
+
+    def banded_fwd(vs, l, a):
+        return ms_deform_attn_banded(vs, shapes, l, a, P)
+
+    o_b = time_fn("banded fwd", banded_fwd, banded_vals, locs_t, attn_t)
 
     if args.bwd:
-        def loss_p(v, l, a):
-            return jnp.sum(ms_deform_attn_pallas(v, shapes, l, a) ** 2)
-        time_fn("pallas fwd+bwd", jax.grad(loss_p, argnums=(0, 1, 2)),
-                value_j, locs_j, attn_j)
+        def loss_b(vs, l, a):
+            return jnp.sum(
+                ms_deform_attn_banded(vs, shapes, l, a, P) ** 2)
+        time_fn("banded fwd+bwd", jax.grad(loss_b, argnums=(0, 1, 2)),
+                banded_vals, locs_t, attn_t)
+
+    if args.sweep:
+        def pallas_fwd(v, l, a):
+            return ms_deform_attn_pallas(v, shapes, l, a)
+
+        time_fn("sweep fwd", pallas_fwd, value_j, locs_j, attn_j)
+
+        if args.bwd:
+            def loss_p(v, l, a):
+                return jnp.sum(ms_deform_attn_pallas(v, shapes, l, a) ** 2)
+            time_fn("sweep fwd+bwd", jax.grad(loss_p, argnums=(0, 1, 2)),
+                    value_j, locs_j, attn_j)
 
     if args.xla:
         def xla_fwd(v, l, a):
             return ms_deform_attn_xla(v, shapes, l, a)
         o_x = time_fn("xla fwd", xla_fwd, value_j, locs_j, attn_j)
-        err = float(jnp.max(jnp.abs(o_p - o_x)))
-        print(f"max abs diff pallas vs xla: {err:.2e}")
+        o_x_t = jnp.transpose(o_x, (0, 2, 3, 1)).reshape(B * H, D, Q)
+        err = float(jnp.max(jnp.abs(o_b - o_x_t)))
+        print(f"max abs diff banded vs xla: {err:.2e}")
 
 
 if __name__ == "__main__":
