@@ -48,8 +48,6 @@ qkv/proj linears stay outside).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

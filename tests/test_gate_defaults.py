@@ -21,9 +21,9 @@ MEASURED_DEFAULTS = {
     "MSDA_BANDED_MP_BWD": "0",   # 13.4 s/step dead end; restructure unmeasured
     "MSDA_DEC_SORT_ONCE": "1",
     "MSDA_SSA_BAND": "0",        # measured neutral (27.755, 2026-08-18)
-    "MSDA_MP_V2": "0",           # unmeasured (queued)
-    "MSDA_BWD_V2": "0",          # unmeasured (queued)
-    "SWIN_ATTN_PALLAS": "0",     # unmeasured (queued)
+    "MSDA_MP_V2": "0",           # measured dead end (27.687 e2e)
+    "MSDA_BWD_V2": "0",          # measured dead end (mb 145 vs 96)
+    "SWIN_ATTN_PALLAS": "0",     # measured dead end (24.707 e2e)
     "MSDA_BAND": "4",
     "LN_PALLAS": "0",            # measured dead end (26.51 vs 27.84)
     "LN_PALLAS_RES": "0",        # unmeasured
