@@ -46,14 +46,19 @@ class _DenseParams(nn.Module):
 
     in_features: int
     features: int
+    kernel_init: object = None
+    bias_init: object = None
 
     @nn.compact
     def __call__(self):
         k = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel", self.kernel_init or nn.initializers.lecun_normal(),
             (self.in_features, self.features),
         )
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        b = self.param(
+            "bias", self.bias_init or nn.initializers.zeros,
+            (self.features,),
+        )
         return k, b
 
 
@@ -210,12 +215,37 @@ class MSDeformAttn(nn.Module):
             v_t = v_t.reshape(B * H, D, L)
 
         O = H * NL * P * 2
-        offs_t = nn.Einsum(
-            (C, O), "bqc,co->boq",
-            kernel_init=nn.initializers.zeros,
-            bias_init=_sampling_offsets_bias_init(H, NL, P),
-            name="sampling_offsets",
-        )(query).reshape(B, H, NL, P, 2, Q)
+        # MSDA_XY=1: emit the sampling locations XY-MAJOR — (BH, 2, NL, P,
+        # Q) instead of (BH, NL, P, 2, Q) — so no tensor in the locs chain
+        # has a minor-2 dim (XLA tiles those T(2,128) and materializes
+        # relayout copies, ~0.26 ms x 6/fwd at bench shapes).  The param
+        # keeps the reference (C, H*NL*P*2) layout; only the einsum's
+        # output columns are reordered (a (C, O) weight shuffle, free).
+        use_xy = use_banded and bool(int(_os.environ.get("MSDA_XY", "0")))
+        if use_xy:
+            ko, bo = _DenseParams(
+                C, O,
+                kernel_init=nn.initializers.zeros,
+                bias_init=_sampling_offsets_bias_init(H, NL, P),
+                name="sampling_offsets",
+            )()
+            ko_r = jnp.transpose(
+                ko.reshape(C, H, NL, P, 2), (0, 1, 4, 2, 3)
+            ).reshape(C, O).astype(query.dtype)
+            bo_r = jnp.transpose(
+                bo.reshape(H, NL, P, 2), (0, 3, 1, 2)
+            ).reshape(O).astype(query.dtype)
+            offs_t = (
+                jnp.einsum("bqc,co->boq", query, ko_r)
+                + bo_r[None, :, None]
+            ).reshape(B, H, 2, NL, P, Q)
+        else:
+            offs_t = nn.Einsum(
+                (C, O), "bqc,co->boq",
+                kernel_init=nn.initializers.zeros,
+                bias_init=_sampling_offsets_bias_init(H, NL, P),
+                name="sampling_offsets",
+            )(query).reshape(B, H, NL, P, 2, Q)
 
         attn_t = nn.Einsum(
             (C, H * NL * P), "bqc,co->boq",
@@ -228,23 +258,45 @@ class MSDeformAttn(nn.Module):
         )
         attn_t = attn_t.reshape(B * H, NL, P, Q)
 
-        rp_t = jnp.moveaxis(
-            reference_points.astype(jnp.float32), 1, -1
-        )  # (B, NL, 2|4, Q)
         offs_t = offs_t.astype(jnp.float32)
-        if reference_points.shape[-1] == 2:
-            wh = jnp.asarray(
-                [[w, h] for h, w in spatial_shapes], jnp.float32
-            ).reshape(1, 1, NL, 1, 2, 1)
-            locs_t = rp_t[:, None, :, None, :, :] + offs_t / wh
-        elif reference_points.shape[-1] == 4:
-            locs_t = (
-                rp_t[:, None, :, None, :2, :]
-                + offs_t / P * rp_t[:, None, :, None, 2:, :] * 0.5
+        if use_xy:
+            # rp: (B, Q, NL, 2|4) -> coord-major (B, 2|4, NL, Q)
+            rp2 = jnp.transpose(
+                reference_points.astype(jnp.float32), (0, 3, 2, 1)
             )
+            if reference_points.shape[-1] == 2:
+                wh2 = jnp.asarray(
+                    [[w for h, w in spatial_shapes],
+                     [h for h, w in spatial_shapes]], jnp.float32
+                ).reshape(1, 1, 2, NL, 1, 1)
+                locs_t = rp2[:, None, :, :, None, :] + offs_t / wh2
+            elif reference_points.shape[-1] == 4:
+                locs_t = (
+                    rp2[:, None, :2, :, None, :]
+                    + offs_t / P * rp2[:, None, 2:, :, None, :] * 0.5
+                )
+            else:
+                raise ValueError(
+                    "reference_points last dim must be 2 or 4")
+            locs_t = locs_t.reshape(B * H, 2, NL, P, Q)
         else:
-            raise ValueError("reference_points last dim must be 2 or 4")
-        locs_t = locs_t.reshape(B * H, NL, P, 2, Q)
+            rp_t = jnp.moveaxis(
+                reference_points.astype(jnp.float32), 1, -1
+            )  # (B, NL, 2|4, Q)
+            if reference_points.shape[-1] == 2:
+                wh = jnp.asarray(
+                    [[w, h] for h, w in spatial_shapes], jnp.float32
+                ).reshape(1, 1, NL, 1, 2, 1)
+                locs_t = rp_t[:, None, :, None, :, :] + offs_t / wh
+            elif reference_points.shape[-1] == 4:
+                locs_t = (
+                    rp_t[:, None, :, None, :2, :]
+                    + offs_t / P * rp_t[:, None, :, None, 2:, :] * 0.5
+                )
+            else:
+                raise ValueError(
+                    "reference_points last dim must be 2 or 4")
+            locs_t = locs_t.reshape(B * H, NL, P, 2, Q)
 
         k, b = _DenseParams(C, C, name="output_proj")()
         if use_banded:
@@ -259,7 +311,8 @@ class MSDeformAttn(nn.Module):
                 "MSDA_BAND_DEC" if is_dec else "MSDA_BAND_ENC", "0"
             )) or None
             out_dq = fn(
-                tuple(values), spatial_shapes, locs_t, attn_t, P, band
+                tuple(values), spatial_shapes, locs_t, attn_t, P, band,
+                xy=use_xy,
             )  # (BH, D, Q)
             # Remat policy hook: naming the RAW kernel output (before the
             # output projection) lets save_only_these_names("msda_out")

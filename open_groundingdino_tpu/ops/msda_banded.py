@@ -80,10 +80,12 @@ def _ssa_band() -> bool:
     return bool(int(os.environ.get("MSDA_SSA_BAND", "0")))
 
 
-def _banded_prep(locs_t, attn_t, spatial_shapes):
+def _banded_prep(locs_t, attn_t, spatial_shapes, xy=False):
     """Kernel-layout separable factors.
 
-    locs_t: (BH, NL, P, 2, Q) f32; attn_t: (BH, NL, P, Q) f32.
+    locs_t: (BH, NL, P, 2, Q) f32 — or, with xy=True, the XY-MAJOR form
+    (BH, 2, NL, P, Q) (MSDA_XY path: no minor-2 dim anywhere, so XLA never
+    materializes the T(2,128)-tiled layouts); attn_t: (BH, NL, P, Q) f32.
     Returns (px, py, wa): each (BH, NL*P, Q) f32 —
       px: continuous x position within the row (edge-collapsed, clipped),
       py: continuous y position (clipped to [-1, H] so ranges stay sane;
@@ -92,8 +94,12 @@ def _banded_prep(locs_t, attn_t, spatial_shapes):
     """
     px_parts, py_parts, wa_parts = [], [], []
     for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-        pxc = locs_t[:, lvl, :, 0, :] * Wl - 0.5   # (BH, P, Q)
-        pyc = locs_t[:, lvl, :, 1, :] * Hl - 0.5
+        if xy:
+            pxc = locs_t[:, 0, lvl] * Wl - 0.5     # (BH, P, Q)
+            pyc = locs_t[:, 1, lvl] * Hl - 0.5
+        else:
+            pxc = locs_t[:, lvl, :, 0, :] * Wl - 0.5   # (BH, P, Q)
+            pyc = locs_t[:, lvl, :, 1, :] * Hl - 0.5
         a = attn_t[:, lvl]
         x0 = jnp.floor(pxc)
         fx = pxc - x0
@@ -112,14 +118,14 @@ def _banded_prep(locs_t, attn_t, spatial_shapes):
         px_parts.append(px_x)
         py_parts.append(py)
         wa_parts.append(wx * a)
-    BH, _, _, _, Q = locs_t.shape
+    BH, Q = locs_t.shape[0], locs_t.shape[-1]
     px = jnp.stack(px_parts, axis=1).reshape(BH, -1, Q)
     py = jnp.stack(py_parts, axis=1).reshape(BH, -1, Q)
     wa = jnp.stack(wa_parts, axis=1).reshape(BH, -1, Q)
     return px, py, wa
 
 
-def _band_ranges(locs_t, spatial_shapes, nqb, bands):
+def _band_ranges(locs_t, spatial_shapes, nqb, bands, xy=False):
     """Per (bh, block, level, point) [ylo, n_iters]: ylo = block-min first
     tap row (clipped to a valid band start), n_iters = ceil(rowspan/BAND_l).
     -> (BH, nqb*NL*P*2) int32 scalar-prefetch."""
@@ -129,7 +135,8 @@ def _band_ranges(locs_t, spatial_shapes, nqb, bands):
     parts = []
     for lvl, (Hl, Wl) in enumerate(spatial_shapes):
         band = bands[lvl]
-        pyc = locs_t[:, lvl, :, 1, :] * Hl - 0.5      # (BH, P, Q)
+        pyc = (locs_t[:, 1, lvl] if xy
+               else locs_t[:, lvl, :, 1, :]) * Hl - 0.5   # (BH, P, Q)
         y0 = jnp.floor(pyc).astype(jnp.int32)
         y_lo = jnp.clip(y0, 0, Hl - 1)
         y_hi = jnp.clip(y0 + 1, 0, Hl - 1)
@@ -294,7 +301,7 @@ def _banded_partitioned(spatial_shapes: Shapes, n_points: int, band: int):
     return _batch_partitioned(impl, NL + 4, 1, factors)
 
 
-def _band_ranges_mp(locs_t, spatial_shapes, nqb, bands):
+def _band_ranges_mp(locs_t, spatial_shapes, nqb, bands, xy=False):
     """Union-over-points ranges for the multi-point kernel: per (bh, block,
     level) [ylo, n_iters] over ALL P points' tap rows ->
     (BH, nqb*NL*2) int32 scalar-prefetch."""
@@ -304,7 +311,8 @@ def _band_ranges_mp(locs_t, spatial_shapes, nqb, bands):
     parts = []
     for lvl, (Hl, Wl) in enumerate(spatial_shapes):
         band = bands[lvl]
-        pyc = locs_t[:, lvl, :, 1, :] * Hl - 0.5      # (BH, P, Q)
+        pyc = (locs_t[:, 1, lvl] if xy
+               else locs_t[:, lvl, :, 1, :]) * Hl - 0.5   # (BH, P, Q)
         y0 = jnp.floor(pyc).astype(jnp.int32)
         y_lo = jnp.clip(y0, 0, Hl - 1)
         y_hi = jnp.clip(y0 + 1, 0, Hl - 1)
@@ -576,14 +584,15 @@ def _banded_mp_partitioned(spatial_shapes: Shapes, n_points: int,
     return _batch_partitioned(impl, NL + 4, 1, factors)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
 def _banded_core(
     values,                 # tuple of (BH, H_l*D, W_l) per level
     spatial_shapes: Shapes,
-    locs_t: jnp.ndarray,    # (BH, NL, P, 2, Q) f32
+    locs_t: jnp.ndarray,    # (BH, NL, P, 2, Q) f32 (xy: (BH, 2, NL, P, Q))
     attn_t: jnp.ndarray,    # (BH, NL, P, Q) f32
     n_points: int,
     band: int,
+    xy: bool = False,
 ) -> jnp.ndarray:           # (BH, D, Q)
     BH = locs_t.shape[0]
     Q = locs_t.shape[-1]
@@ -591,7 +600,7 @@ def _banded_core(
     D = values[0].shape[1] // spatial_shapes[0][0]
     px, py, wa = _banded_prep(
         locs_t.astype(jnp.float32), attn_t.astype(jnp.float32),
-        spatial_shapes,
+        spatial_shapes, xy=xy,
     )
     Q_pad = _round_up(Q, QBLOCK)
     if Q_pad != Q:
@@ -610,7 +619,7 @@ def _banded_core(
     if bool(int(os.environ.get("MSDA_BANDED_MP", "1"))):
         ranges = _band_ranges_mp(
             locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
-            bands,
+            bands, xy=xy,
         )
         out = _banded_mp_partitioned(tuple(spatial_shapes), n_points,
                                      band)(
@@ -618,7 +627,8 @@ def _banded_core(
         )
         return out[:, :, :Q]
     ranges = _band_ranges(
-        locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK, bands
+        locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK, bands,
+        xy=xy,
     )
     out = _banded_partitioned(tuple(spatial_shapes), n_points, band)(
         *values, px, py, wa, ranges
@@ -1066,29 +1076,39 @@ def _banded_mp_bwd_partitioned(spatial_shapes: Shapes, n_points: int,
                               in_factors + out_factors)
 
 
-def _banded_fwd(values, spatial_shapes, locs_t, attn_t, n_points, band):
+def _banded_fwd(values, spatial_shapes, locs_t, attn_t, n_points, band,
+                xy=False):
     out = _banded_core(values, spatial_shapes, locs_t, attn_t, n_points,
-                       band)
+                       band, xy)
     return out, (values, locs_t, attn_t)
 
 
-def _banded_bwd(spatial_shapes, n_points, band, residuals, g):
+def _banded_bwd(spatial_shapes, n_points, band, xy, residuals, g):
     """Backward dispatch: native banded backward kernel (default), or the
     corner-sweep backward via layout conversion (MSDA_BANDED_BWD=0).
     g: (BH, D, Q)."""
     if bool(int(os.environ.get("MSDA_BANDED_BWD", "1"))):
         return _banded_bwd_native(spatial_shapes, n_points, band,
-                                  residuals, g)
+                                  residuals, g, xy=xy)
+    if xy:
+        # legacy corner backward expects (BH, NL, P, 2, Q); pay the
+        # transpose only on this fallback path
+        values, locs_t, attn_t = residuals
+        locs_l = jnp.moveaxis(locs_t, 1, 3)
+        gvs, g_locs, g_attn = _banded_bwd_corner(
+            spatial_shapes, n_points, (values, locs_l, attn_t), g)
+        return gvs, jnp.moveaxis(g_locs, 3, 1), g_attn
     return _banded_bwd_corner(spatial_shapes, n_points, residuals, g)
 
 
-def _banded_bwd_native(spatial_shapes, n_points, band, residuals, g):
+def _banded_bwd_native(spatial_shapes, n_points, band, residuals, g,
+                       xy=False):
     values, locs_t, attn_t = residuals
     BH = locs_t.shape[0]
     Q = locs_t.shape[-1]
     bands = tuple(min(band, h) for h, w in spatial_shapes)
     (px, py, wa), prep_vjp = jax.vjp(
-        lambda l, a: _banded_prep(l, a, spatial_shapes),
+        lambda l, a: _banded_prep(l, a, spatial_shapes, xy=xy),
         locs_t.astype(jnp.float32), attn_t.astype(jnp.float32),
     )
     Q_pad = _round_up(Q, QBLOCK)
@@ -1112,7 +1132,7 @@ def _banded_bwd_native(spatial_shapes, n_points, band, residuals, g):
     if bool(int(os.environ.get("MSDA_BANDED_MP_BWD", "0"))):
         ranges = _band_ranges_mp(
             locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
-            bands,
+            bands, xy=xy,
         )
         outs = _banded_mp_bwd_partitioned(
             tuple(spatial_shapes), n_points, band
@@ -1122,7 +1142,7 @@ def _banded_bwd_native(spatial_shapes, n_points, band, residuals, g):
     else:
         ranges = _band_ranges(
             locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
-            bands,
+            bands, xy=xy,
         )
         outs = _banded_bwd_partitioned(
             tuple(spatial_shapes), n_points, band
@@ -1178,16 +1198,17 @@ _banded_core.defvjp(_banded_fwd, _banded_bwd)
 
 
 def ms_deform_attn_banded(values, spatial_shapes, locs_t, attn_t, n_points,
-                          band=None):
+                          band=None, xy=False):
     """Public entry; band = y-rows per sub-band window (None -> MSDA_BAND
     env, default 4).  Encoder and decoder callers pick different bands
-    (measured: encoder prefers 8, sorted decoder prefers 4)."""
+    (measured: encoder prefers 8, sorted decoder prefers 4).  xy=True:
+    locs_t arrives XY-MAJOR (BH, 2, NL, P, Q) — see _banded_prep."""
     return _banded_core(values, spatial_shapes, locs_t, attn_t, n_points,
-                        int(band or BAND))
+                        int(band or BAND), xy)
 
 
 def ms_deform_attn_banded_sorted(values, spatial_shapes, locs_t, attn_t,
-                                 n_points, band=None):
+                                 n_points, band=None, xy=False):
     """Decoder-style entry (Q != number of tokens): queries are spatially
     unsorted, so a 128-query block's y-band would span the whole map.  Sort
     queries by the (y, x) center of their first finest-level point — any
@@ -1195,8 +1216,12 @@ def ms_deform_attn_banded_sorted(values, spatial_shapes, locs_t, attn_t,
     un-sort the outputs.  Differentiable (plain take_along_axis around the
     custom-VJP core)."""
     H0, W0 = spatial_shapes[0]
-    y = jnp.clip(locs_t[:, 0, 0, 1, :].astype(jnp.float32), -0.1, 1.1)
-    x = jnp.clip(locs_t[:, 0, 0, 0, :].astype(jnp.float32), -0.1, 1.1)
+    if xy:
+        y = jnp.clip(locs_t[:, 1, 0, 0, :].astype(jnp.float32), -0.1, 1.1)
+        x = jnp.clip(locs_t[:, 0, 0, 0, :].astype(jnp.float32), -0.1, 1.1)
+    else:
+        y = jnp.clip(locs_t[:, 0, 0, 1, :].astype(jnp.float32), -0.1, 1.1)
+        x = jnp.clip(locs_t[:, 0, 0, 0, :].astype(jnp.float32), -0.1, 1.1)
     key = y * H0 * (W0 + 2) + x * W0
     order = jnp.argsort(key, axis=1)                     # (BH, Q)
     inv = jnp.argsort(order, axis=1)
@@ -1205,5 +1230,5 @@ def ms_deform_attn_banded_sorted(values, spatial_shapes, locs_t, attn_t,
     )
     attn_s = jnp.take_along_axis(attn_t, order[:, None, None, :], axis=3)
     out = ms_deform_attn_banded(values, spatial_shapes, locs_s, attn_s,
-                                n_points, band)          # (BH, D, Q)
+                                n_points, band, xy)      # (BH, D, Q)
     return jnp.take_along_axis(out, inv[:, None, :], axis=2)

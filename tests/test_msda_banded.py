@@ -300,3 +300,50 @@ def test_banded_bwd_v2_grads_parity(monkeypatch):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_banded_module_xy_parity(monkeypatch):
+    """MSDA_XY=1 (XY-major sampling locations, no minor-2 dims) must match
+    the default layout exactly — forward and all parameter grads, both the
+    encoder-style (Q == L) and decoder-style (Q != L, sorted wrapper)."""
+    monkeypatch.setenv("MSDA_BANDED", "1")
+    from open_groundingdino_tpu.models.deformable import MSDeformAttn
+
+    C = H * D * 2
+    heads = 4
+    rng = np.random.RandomState(17)
+    kpm = np.zeros((B, L), bool)
+    kpm[1, -5:] = True
+
+    for Qd in (Q, 32):
+        query = rng.randn(B, Qd, C).astype(np.float32)
+        value = rng.randn(B, L, C).astype(np.float32)
+        ref_pts = rng.uniform(0.05, 0.95, (B, Qd, NL, 2)).astype(np.float32)
+
+        def run(env):
+            monkeypatch.setenv("MSDA_XY", env)
+            m = MSDeformAttn(embed_dim=C, num_heads=heads, num_levels=NL,
+                             num_points=NP, impl="pallas")
+            p = m.init(jax.random.PRNGKey(0), query, value, ref_pts,
+                       SHAPES, kpm)
+            out = m.apply(p, query, value, ref_pts, SHAPES, kpm)
+            g = jax.grad(
+                lambda pp: jnp.sum(jnp.sin(
+                    m.apply(pp, query, value, ref_pts, SHAPES, kpm)))
+            )(p)
+            return p, out, g
+
+        p0, o0, g0 = run("0")
+        p1, o1, g1 = run("1")
+        assert (jax.tree_util.tree_structure(p0)
+                == jax.tree_util.tree_structure(p1))
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   rtol=2e-4, atol=2e-4)
+        for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
+                err_msg=jax.tree_util.keystr(kp),
+            )
