@@ -221,7 +221,7 @@ class MSDeformAttn(nn.Module):
         # relayout copies, ~0.26 ms x 6/fwd at bench shapes).  The param
         # keeps the reference (C, H*NL*P*2) layout; only the einsum's
         # output columns are reordered (a (C, O) weight shuffle, free).
-        use_xy = use_banded and bool(int(_os.environ.get("MSDA_XY", "0")))
+        use_xy = use_banded and bool(int(_os.environ.get("MSDA_XY", "1")))
         if use_xy:
             ko, bo = _DenseParams(
                 C, O,
