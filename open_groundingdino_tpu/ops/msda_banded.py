@@ -758,6 +758,152 @@ def _msda_banded_bwd_kernel(
             )
 
 
+def _msda_banded_bwd_gvmp_kernel(
+    ranges_ref,   # scalar prefetch (BH*nqb*NL*P*2,) int32
+    *refs,
+    spatial_shapes: Shapes,
+    bands: Tuple[int, ...],
+    n_points: int,
+):
+    """MSDA_BWD_GV_MP=1 hybrid backward: the loc/weight-grad passes stay
+    per-point (small (D, 128) fori carries — the full-MP backward's
+    register-pressure failure mode), but the grad_value scatter runs ONE
+    union-range pass per level: the P points' B matrices stand side by
+    side on lanes and a single (band*D, P*128) @ (W, P*128)^T dot sums all
+    P contributions, so each union window costs 1 dot + 1 gv RMW instead
+    of the per-point 4 + 4 (the RMW of the (band*D, W) slab is the
+    dominant VMEM round-trip).  Union [lo, hi] is computed from the
+    per-point scalar-prefetch ranges in SMEM; rows a point's band does not
+    cover contribute exact zeros (wy = 0 there by construction).
+
+    refs layout identical to _msda_banded_bwd_kernel (no colpos)."""
+    NL = len(spatial_shapes)
+    values = refs[:NL]
+    px_ref, py_ref, wa_ref, g_ref = refs[NL : NL + 4]
+    gv = refs[NL + 4 : NL + 4 + NL]
+    gpx_ref, gpy_ref, gwa_ref = refs[NL + 4 + NL :]
+    D = g_ref.shape[1]
+    P = n_points
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nqb = pl.num_programs(1)
+
+    @pl.when(qb == 0)
+    def _zero():
+        for r in gv:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    g = g_ref[0].astype(jnp.float32)                # (D, 128)
+    g_mp = jnp.concatenate([g] * P, axis=1)         # (D, P*128)
+    rbase = (bh * nqb + qb) * NL * P * 2
+
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        band = bands[lvl]
+        vref = values[lvl]
+        gvref = gv[lvl]
+        bf16 = vref.dtype == jnp.bfloat16
+        prec = (jax.lax.Precision.DEFAULT if bf16
+                else jax.lax.Precision.HIGHEST)
+        mmt = jnp.bfloat16 if bf16 else jnp.float32
+        colpos = jax.lax.broadcasted_iota(
+            jnp.int32, (Wl, QBLOCK), 0
+        ).astype(jnp.float32)
+
+        ts = [lvl * P + p for p in range(P)]
+        sx_parts, sxp_parts = [], []
+        for t in ts:
+            dxc = px_ref[0, t : t + 1, :] - colpos  # (W, 128)
+            adx = jnp.abs(dxc)
+            sx_parts.append(jnp.maximum(1.0 - adx, 0.0).astype(mmt))
+            sxp_parts.append(
+                jnp.where(adx < 1.0, -jnp.sign(dxc), 0.0).astype(mmt))
+        sx_mp = jnp.concatenate(sx_parts, axis=1)   # (W, P*128)
+        py_mp = jnp.concatenate(
+            [py_ref[0, t : t + 1, :] for t in ts], axis=1)  # (1, P*128)
+        wa_mp = jnp.concatenate(
+            [wa_ref[0, t : t + 1, :] for t in ts], axis=1)
+
+        # ---- per-point loc/weight grads (C / Cp; no gv work)
+        los, ends = [], []
+        for p in range(P):
+            t = ts[p]
+            py = py_ref[0, t : t + 1, :]
+            wa = wa_ref[0, t : t + 1, :]
+            sx_mm = sx_parts[p]
+            sxp_mm = sxp_parts[p]
+            ylo = ranges_ref[rbase + 2 * t]
+            n_it = ranges_ref[rbase + 2 * t + 1]
+            los.append(ylo)
+            ends.append(ylo + n_it * band)
+
+            def band_body(bi, carry, ylo=ylo, band=band, vref=vref,
+                          sx_mm=sx_mm, sxp_mm=sxp_mm, py=py,
+                          prec=prec, D=D):
+                s_wa, s_px, s_py = carry
+                ybase = ylo + bi * band
+                A = vref[0, pl.ds(ybase * D, band * D), :]
+                C = jax.lax.dot_general(
+                    A, sx_mm, dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32,
+                )
+                Cp = jax.lax.dot_general(
+                    A, sxp_mm, dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32,
+                )
+                yb = ybase.astype(jnp.float32)
+                for r in range(band):
+                    dy = py - (yb + r)
+                    ady = jnp.abs(dy)
+                    wy = jnp.maximum(1.0 - ady, 0.0)
+                    dwy = jnp.where(ady < 1.0, -jnp.sign(dy), 0.0)
+                    Cr = C[r * D : (r + 1) * D, :]
+                    Cpr = Cp[r * D : (r + 1) * D, :]
+                    s_wa = s_wa + wy * Cr
+                    s_px = s_px + wy * Cpr
+                    s_py = s_py + dwy * Cr
+                return (s_wa, s_px, s_py)
+
+            zero = jnp.zeros((D, QBLOCK), jnp.float32)
+            s_wa, s_px, s_py = jax.lax.fori_loop(
+                0, n_it, band_body, (zero, zero, zero)
+            )
+            gwa_ref[0, t : t + 1, :] = jnp.sum(
+                g * s_wa, axis=0, keepdims=True)
+            gpx_ref[0, t : t + 1, :] = wa * jnp.sum(
+                g * s_px, axis=0, keepdims=True)
+            gpy_ref[0, t : t + 1, :] = wa * jnp.sum(
+                g * s_py, axis=0, keepdims=True)
+
+        # ---- union-range gV pass: one dot + one RMW per window
+        lo_u = los[0]
+        end_u = ends[0]
+        for p in range(1, P):
+            lo_u = jnp.minimum(lo_u, los[p])
+            end_u = jnp.maximum(end_u, ends[p])
+        n_it_u = (end_u - lo_u + band - 1) // band
+
+        def gv_body(bi, _, lo_u=lo_u, band=band, gvref=gvref,
+                    sx_mp=sx_mp, py_mp=py_mp, wa_mp=wa_mp, g_mp=g_mp,
+                    prec=prec, D=D, mmt=mmt):
+            ybase = lo_u + bi * band
+            yb = ybase.astype(jnp.float32)
+            b_rows = []
+            for r in range(band):
+                wy = jnp.maximum(1.0 - jnp.abs(py_mp - (yb + r)), 0.0)
+                b_rows.append((wy * wa_mp) * g_mp)      # (D, P*128)
+            B = jnp.concatenate(b_rows, axis=0)         # (band*D, P*128)
+            B = B.astype(mmt)
+            gvc = jax.lax.dot_general(
+                B, sx_mp, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )                                           # (band*D, W)
+            sl = pl.ds(ybase * D, band * D)
+            gvref[0, sl, :] = gvref[0, sl, :] + gvc.astype(gvref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_it_u, gv_body, 0)
+
+
 def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
                      n_points, band):
     """values: per-level (BH, (H_l+band-1)*D, W_l) (zero tail rows);
@@ -772,15 +918,26 @@ def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
     NP = px.shape[1]
 
     v2 = bool(int(os.environ.get("MSDA_BWD_V2", "0")))
-    kernel = functools.partial(
-        _msda_banded_bwd_kernel, spatial_shapes=spatial_shapes, bands=bands,
-        n_points=n_points, colpos_operand=v2,
-    )
+    gv_mp = bool(int(os.environ.get("MSDA_BWD_GV_MP", "0")))
+    if gv_mp:
+        kernel = functools.partial(
+            _msda_banded_bwd_gvmp_kernel, spatial_shapes=spatial_shapes,
+            bands=bands, n_points=n_points,
+        )
+        v2 = False
+    else:
+        kernel = functools.partial(
+            _msda_banded_bwd_kernel, spatial_shapes=spatial_shapes,
+            bands=bands, n_points=n_points, colpos_operand=v2,
+        )
     interpret = jax.devices()[0].platform != "tpu"
+    # block heights follow the caller's padding (band-1 zero tail rows;
+    # 2*band-2 for the gv_mp union grid, whose windows can overshoot a
+    # per-point grid by band-1 rows)
     val_specs = [
-        pl.BlockSpec((1, (h + b - 1) * D, w), (lambda bh, qb, r: (bh, 0, 0)),
+        pl.BlockSpec((1, v.shape[1], w), (lambda bh, qb, r: (bh, 0, 0)),
                      memory_space=pltpu.VMEM)
-        for (h, w), b in zip(spatial_shapes, bands)
+        for v, (h, w) in zip(values, spatial_shapes)
     ]
     extra_ops, extra_specs = [], []
     if v2:
@@ -1118,9 +1275,14 @@ def _banded_bwd_native(spatial_shapes, n_points, band, residuals, g,
         py = jnp.pad(py, pad)
         wa = jnp.pad(wa, pad)
         g = jnp.pad(g, ((0, 0), (0, 0), (0, Q_pad - Q)))
+    pad_bands = tuple(
+        (2 * b - 1) if bool(int(os.environ.get("MSDA_BWD_GV_MP", "0")))
+        else b
+        for b in bands
+    )
     values_p = tuple(
-        jnp.pad(v, ((0, 0), (0, (b - 1) * (v.shape[1] // h)), (0, 0)))
-        for v, b, (h, _w) in zip(values, bands, spatial_shapes)
+        jnp.pad(v, ((0, 0), (0, (pb - 1) * (v.shape[1] // h)), (0, 0)))
+        for v, pb, (h, _w) in zip(values, pad_bands, spatial_shapes)
     )
     NL = len(spatial_shapes)
     # MP backward is gated SEPARATELY from the MP forward.  The first MP-bwd

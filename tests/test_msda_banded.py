@@ -347,3 +347,25 @@ def test_banded_module_xy_parity(monkeypatch):
                 np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
                 err_msg=jax.tree_util.keystr(kp),
             )
+
+
+def test_banded_bwd_gvmp_grads_parity(monkeypatch):
+    """MSDA_BWD_GV_MP=1 (union-range multi-point gV pass, per-point
+    loc/weight grads) must produce identical gradients to the per-point
+    backward, including bottom-edge points (union-grid overshoot rows)."""
+    monkeypatch.setenv("MSDA_BANDED_BWD", "1")
+    # loc range pushed past the image so edge/padding rows are exercised
+    v_t, locs, attn = _inputs(23, loc_lo=-0.2, loc_hi=1.2)
+    vb = _banded_values(v_t)
+
+    def loss(vs, l, a):
+        return jnp.sum(jnp.sin(ms_deform_attn_banded(vs, SHAPES, l, a, NP)))
+
+    monkeypatch.setenv("MSDA_BWD_GV_MP", "0")
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
+    monkeypatch.setenv("MSDA_BWD_GV_MP", "1")
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
