@@ -25,7 +25,7 @@ MEASURED_DEFAULTS = {
     "MSDA_BWD_V2": "0",          # measured dead end (mb 145 vs 96)
     "SWIN_ATTN_PALLAS": "0",     # measured dead end (24.707 e2e)
     "MSDA_XY": "1",              # measured 28.121 fwd, 0.5568 train (2026-08-19)
-    "MSDA_BWD_GV_MP": "0",       # unmeasured (queued)
+    "MSDA_BWD_GV_MP": "0",       # measured dead end (0.600 vs 0.558 s)
     "MSDA_BAND": "4",
     "LN_PALLAS": "0",            # measured dead end (26.51 vs 27.84)
     "LN_PALLAS_RES": "0",        # unmeasured
