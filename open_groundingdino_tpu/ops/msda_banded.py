@@ -1263,6 +1263,11 @@ def _banded_bwd_native(spatial_shapes, n_points, band, residuals, g,
     values, locs_t, attn_t = residuals
     BH = locs_t.shape[0]
     Q = locs_t.shape[-1]
+    # The backward's cost profile differs from the forward's (cross-sublane
+    # gw/gpx reductions scale with band height; the fwd's per-window fixed
+    # costs shrink with it), so the band is independently overridable:
+    # MSDA_BAND_BWD=0 (default) follows the forward band.
+    band = int(os.environ.get("MSDA_BAND_BWD", "0")) or band
     bands = tuple(min(band, h) for h, w in spatial_shapes)
     (px, py, wa), prep_vjp = jax.vjp(
         lambda l, a: _banded_prep(l, a, spatial_shapes, xy=xy),

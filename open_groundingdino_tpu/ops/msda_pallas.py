@@ -125,7 +125,7 @@ def _batch_partitioned(impl_fn, n_in: int, n_out: int, factor_lists):
     )
     return f
 
-QBLOCK = int(os.environ.get("MSDA_QBLOCK", "128"))
+QBLOCK = int(os.environ.get("MSDA_QBLOCK", "256"))
 TILE = 128
 GROUP = 16  # taps per sweep group = one level; finer groups lose to per-tile-iteration fixed costs (GROUP=4 measured 2.2x slower e2e)
 GROUP_ROWS = 8  # row-taps per sweep group = one level (rowtap variant)

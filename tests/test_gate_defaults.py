@@ -1,6 +1,6 @@
 """Measured-defaults contract: the env-gate defaults compiled into the
 package must stay exactly the configuration the driver bench measured
-(BENCH_NOTES round-3 trail, 27.761 img/s fwd / 0.622 s train step).
+(BENCH_NOTES round-3 trail, 30.277 img/s fwd / 0.5182 s train step).
 
 Round 1 shipped an unmeasured kernel rewrite at HEAD and the recorded
 bench regressed 9.05 -> 6.39 (VERDICT r1); this test makes that mistake
@@ -27,6 +27,11 @@ MEASURED_DEFAULTS = {
     "MSDA_XY": "1",              # measured 28.121 fwd, 0.5568 train (2026-08-19)
     "MSDA_BWD_GV_MP": "0",       # measured dead end (0.600 vs 0.558 s)
     "MSDA_BAND": "4",
+    "MSDA_QBLOCK": "256",        # measured 30.277 fwd / 0.5182 s train at
+                                 # band 4 (2026-08-19); 128 was 28.121/0.5568
+    "MSDA_BAND_BWD": "0",        # 0 = follow MSDA_BAND; 2 and 8 measured
+                                 # dead ends (0.527/0.558 vs 0.521 s/step)
+
     "LN_PALLAS": "0",            # measured dead end (26.51 vs 27.84)
     "LN_PALLAS_RES": "0",        # unmeasured
     "MLP_PALLAS": "0",           # unmeasured

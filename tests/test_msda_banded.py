@@ -63,10 +63,14 @@ def test_banded_forward_parity_with_padding():
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("bwd", ["1", "0"])
-def test_banded_grads_parity(bwd, monkeypatch):
-    # "1" = native banded backward kernel, "0" = corner-sweep fallback
+@pytest.mark.parametrize("bwd,bwd_band", [("1", "0"), ("0", "0"),
+                                          ("1", "2"), ("1", "8")])
+def test_banded_grads_parity(bwd, bwd_band, monkeypatch):
+    # "1" = native banded backward kernel, "0" = corner-sweep fallback;
+    # bwd_band exercises the backward-specific band override (MSDA_BAND_BWD,
+    # 0 = follow the forward band)
     monkeypatch.setenv("MSDA_BANDED_BWD", bwd)
+    monkeypatch.setenv("MSDA_BAND_BWD", bwd_band)
     v_t, locs, attn = _inputs(1)
     values = _banded_values(v_t)
 
