@@ -79,8 +79,12 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        B, H, W, T = int(os.environ.get("BENCH_BATCH", "4")), 800, 1216, 256
-        iters, warmup = 20, 3
+        # batch sweep at the QB256 kernels (2026-08-19): B1 31.66 > B2
+        # 30.46-30.91 > B3 30.0 > B4 30.25-30.33 > B6 29.7 > B8 28.1
+        # img/s/chip — B=1 is the measured throughput optimum (and the
+        # serving-latency configuration)
+        B, H, W, T = int(os.environ.get("BENCH_BATCH", "1")), 800, 1216, 256
+        iters, warmup = 40, 3
     else:  # CPU smoke fallback so the line always prints
         B, H, W, T = 1, 256, 320, 64
         iters, warmup = 2, 1
@@ -141,6 +145,51 @@ def main():
         jnp.asarray(inputs["position_ids"]),
         jnp.asarray(inputs["text_self_attention_masks"]),
     )
+
+    # BENCH_SCAN=N: run N forwards inside ONE lax.scan dispatch, like the
+    # train side's steps_per_call — the axon tunnel's per-execute overhead
+    # (~wall-vs-device gap at these shapes) is dispatch transport, not
+    # device time, and a single scan dispatch measures device throughput.
+    # Every iteration's inputs are data-dependently perturbed (image += eps,
+    # ids += (eps>1), both provably-unknowable to XLA) so no part of the
+    # body can be hoisted out of the loop: each scan step runs the FULL
+    # image+text forward.  0 = per-dispatch python loop.
+    scan_n = int(os.environ.get("BENCH_SCAN", "0"))
+    if scan_n:
+        @jax.jit
+        def fwd_scan(variables, images, image_sizes, input_ids,
+                     text_token_mask, position_ids,
+                     text_self_attention_masks, eps):
+            def body(carry, e):
+                off = (e > 1.0).astype(jnp.int32)  # 0 at runtime
+                out = model.apply(
+                    variables,
+                    images=images + e.astype(images.dtype),
+                    image_sizes=image_sizes,
+                    input_ids=input_ids + off,
+                    text_token_mask=text_token_mask,
+                    position_ids=position_ids + off,
+                    text_self_attention_masks=text_self_attention_masks,
+                )
+                chk = carry + jnp.sum(out["pred_boxes"].astype(jnp.float32))
+                return chk, ()
+            chk, _ = jax.lax.scan(body, jnp.float32(0.0), eps)
+            return chk
+
+        eps = jnp.linspace(0.0, 1e-3, scan_n, dtype=jnp.float32)
+        sargs = args + (eps,)
+        float(fwd_scan(*sargs))  # warmup (compile)
+        t0 = time.perf_counter()
+        float(fwd_scan(*sargs))  # host fetch fences the device queue
+        dt = time.perf_counter() - t0
+        ips = B * scan_n / dt
+        print(json.dumps({
+            "metric": "COCO val2017 images/sec/chip (Swin-T)",
+            "value": round(ips, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+        }))
+        return
 
     for _ in range(warmup):
         out = fwd(*args)

@@ -161,3 +161,48 @@ def test_main_train_and_eval(workspace):
         recs = [json.loads(line) for line in f if line.strip()]
     assert len(recs) == 2, recs  # epoch 0 (first run) + epoch 1 (resumed)
     assert all(np.isfinite(r["loss"]) for r in recs)
+
+
+@pytest.mark.slow
+def test_main_train_odvg(workspace):
+    """The reference's primary training mode — ODVG jsonl grounding data
+    (reference main.py:214-224 + datasets/odvg.py) — driven through the
+    real CLI: od.jsonl train split + coco val split, one debug epoch."""
+    d = workspace
+    label_map = {"0": "dog", "1": "cat", "2": "bird"}
+    (d / "label_map.json").write_text(json.dumps(label_map))
+    with open(d / "od.jsonl", "w") as f:
+        for i in range(8):
+            rec = {
+                "filename": f"images/img_{i}.jpg",
+                "detection": {
+                    "instances": [
+                        {"bbox": [10, 10, 60, 50], "label": i % 3},
+                        {"bbox": [30, 20, 100, 70], "label": (i + 1) % 3},
+                    ]
+                },
+            }
+            f.write(json.dumps(rec) + "\n")
+    manifest = {
+        "train": [{"root": str(d), "anno": str(d / "od.jsonl"),
+                   "label_map": str(d / "label_map.json"),
+                   "dataset_mode": "odvg"}],
+        "val": [{"root": str(d), "anno": str(d / "coco.json"),
+                 "dataset_mode": "coco"}],
+    }
+    (d / "datasets_odvg.json").write_text(json.dumps(manifest))
+    out_dir = str(d / "out_odvg")
+    _run_main(
+        [
+            "-c", str(d / "cfg_tiny.py"),
+            "--datasets", str(d / "datasets_odvg.json"),
+            "--output_dir", out_dir,
+            "--vocab", str(d / "vocab.txt"),
+            "--debug",
+            "--options", "max_labels=3",
+        ]
+    )
+    with open(os.path.join(out_dir, "log.txt")) as f:
+        rec = json.loads(f.readline())
+    assert "loss" in rec and "AP" in rec
+    assert np.isfinite(rec["loss"])
