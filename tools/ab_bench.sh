@@ -1,13 +1,21 @@
 #!/bin/bash
-# On-chip A/B queue for the env-gated kernel candidates (BENCH_NOTES.md
-# "Pending on-chip A/Bs").  Run from the repo root with the axon TPU
-# reachable; ONE TPU process at a time — this script serializes.
+# On-chip A/B protocol for env-gated kernel candidates (BENCH_NOTES.md).
+# Run from the repo root with the axon TPU reachable; ONE TPU process at a
+# time — this script serializes.
 #
 #   bash tools/ab_bench.sh [results_file]
 #
-# Each candidate flips exactly one gate against the measured-default
-# baseline (tests/test_gate_defaults.py).  Record wins by flipping the
-# default + adding a BENCH_NOTES trail row; record losses as dead ends.
+# Protocol (CLAUDE.md "measured-defaults discipline"):
+#   1. re-measure the baseline IN THE SAME SESSION (tunnel-day variance);
+#   2. flip exactly ONE gate per run against the measured defaults
+#      (tests/test_gate_defaults.py pins them);
+#   3. record wins by flipping the default + a BENCH_NOTES trail row,
+#      losses as dead-end rows — either way the number lands in the notes.
+#
+# As of 2026-08-19 every queued candidate has been measured (QB256/band
+# sweep, MSDA_BAND_BWD, BENCH_SCAN, B-sweep: see BENCH_NOTES round-3
+# trail); the template below re-baselines and captures fresh profiles —
+# add new one-gate runs after the baseline rows.
 set -u
 R="${1:-/tmp/ab_results.log}"
 cd "$(dirname "$0")/.."
@@ -15,7 +23,7 @@ cd "$(dirname "$0")/.."
 run() {
   local label="$1"; shift
   echo "=== $label @ $(date +%H:%M:%S)" >> "$R"
-  timeout 2400 "$@" >> "$R" 2>&1
+  timeout 3000 "$@" >> "$R" 2>&1
   echo "rc=$? done @ $(date +%H:%M:%S)" >> "$R"
 }
 
@@ -23,21 +31,18 @@ TRAIN=(python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py
        --train --batch 4 --compute_dtype bfloat16)
 
 run "fwd-baseline-HEAD"      python bench.py
-run "fwd-MSDA_MP_V2"         env MSDA_MP_V2=1 python bench.py
-run "fwd-SWIN_ATTN_PALLAS"   env SWIN_ATTN_PALLAS=1 python bench.py
 run "train-baseline"         "${TRAIN[@]}"
-run "train-MSDA_BWD_V2"      env MSDA_BWD_V2=1 "${TRAIN[@]}"
-run "train-SWIN_ATTN_PALLAS" env SWIN_ATTN_PALLAS=1 "${TRAIN[@]}"
-# measured 2026-08-18 (all dead-end/neutral, kept for re-checks):
-# LN_PALLAS_RES / MLP_PALLAS / MLP_PALLAS+MLP_PALLAS_SWIN=0 / SWIN_BHND /
-# MSDA_SSA_BAND / REMAT_SAVE_KERNELS (won, now default) / MSDA_BANDED_MP_BWD
+# >>> add one-gate candidate runs here, e.g.:
+# run "fwd-MY_GATE"          env MY_GATE=1 python bench.py
+# run "train-MY_GATE"        env MY_GATE=1 "${TRAIN[@]}"
 
 # Fresh attribution at the HEAD defaults (feeds the next optimization pick):
 PROF=(python tools/profile.py -c open_groundingdino_tpu/config/cfg_coco.py)
-run "profile-fwd-HEAD"       "${PROF[@]}" -o /tmp/trace_fwd_r3
-run "profile-train-HEAD"     "${PROF[@]}" -o /tmp/trace_train_r3 --train
+run "profile-fwd-HEAD"       "${PROF[@]}" --batch 1 --iters 10 -o /tmp/trace_fwd_head
+run "profile-train-HEAD"     "${PROF[@]}" -o /tmp/trace_train_head --train
 
 # Informational breadth datapoints (other model families, same kernels):
-run "fwd-swinb-info"   python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_swinb.py --batch 4 --compute_dtype bfloat16
+run "fwd-swinb-info"    python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_swinb.py --batch 4 --compute_dtype bfloat16
+run "fwd-swinl-info"    python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_swinl.py --batch 4 --compute_dtype bfloat16
 run "fwd-resnet50-info" python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_resnet50.py --batch 4 --compute_dtype bfloat16
 echo "ALL DONE @ $(date +%H:%M:%S)" >> "$R"
