@@ -82,6 +82,23 @@ def test_device_lsap_random_matrices():
         assert (src[~valid] == Qn).all()
 
 
+def test_device_lsap_masked_u_variant(monkeypatch):
+    """HUNGARIAN_MASKED=1 (row-mask u update instead of the scatter-add)
+    must be exact: same adds in the same order -> bitwise-equal result."""
+    rng = np.random.RandomState(11)
+    cost = rng.randn(3, 40, 9).astype(np.float32) * 10
+    valid = rng.rand(3, 9) > 0.3
+    base = np.asarray(
+        hungarian_assign(jnp.asarray(cost), jnp.asarray(valid), method="device")
+    )
+    monkeypatch.setenv("HUNGARIAN_MASKED", "1")
+    got = np.asarray(
+        hungarian_assign(jnp.asarray(cost), jnp.asarray(valid), method="device")
+    )
+    np.testing.assert_array_equal(got, base)
+    _check_vs_scipy(got, cost, valid, exact_indices=False)
+
+
 def test_one_hot_scatter():
     _, _, _, pos_maps, valid = _inputs()
     src = np.full((B, G), Q, np.int32)
