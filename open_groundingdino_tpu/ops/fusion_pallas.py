@@ -36,6 +36,7 @@ and the parity oracle.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -290,12 +291,25 @@ def _fused_bwd_impl(q, k, val_v, val_l, mv, ml, ml_max, sl, out_v, out_l,
     # per-(token, head) correction terms (tiny, computed in XLA):
     #   rv[b,v,h] = g_ov . out_v   (row-softmax colsum identity)
     #   cl[b,h,l] = g_ol . out_l
-    rv = jnp.sum(
-        (g_ov.astype(jnp.float32) * out_v.astype(jnp.float32)).reshape(
-            B, Nv_pad, H, D
-        ),
-        axis=-1,
-    )  # (B, Nv_pad, H)
+    if bool(int(os.environ.get("FUSION_RV_SLICES", "0"))):
+        # per-head static lane slices instead of reshape(B,N,H,D)+sum:
+        # the reshape retiles the (B, 20224, 1024) f32 stream
+        # T(8,128)->T(4,128) (~1 ms x 6 layers/step in the train trace);
+        # lane-boundary slices (D = 2x128 lanes) are layout-preserving and
+        # the sum fuses into the multiply.  Same values, same reduce order.
+        prod_v = g_ov.astype(jnp.float32) * out_v.astype(jnp.float32)
+        rv = jnp.concatenate(
+            [prod_v[..., h * D:(h + 1) * D].sum(-1, keepdims=True)
+             for h in range(H)],
+            axis=-1,
+        )  # (B, Nv_pad, H)
+    else:
+        rv = jnp.sum(
+            (g_ov.astype(jnp.float32) * out_v.astype(jnp.float32)).reshape(
+                B, Nv_pad, H, D
+            ),
+            axis=-1,
+        )  # (B, Nv_pad, H)
     cl = jnp.sum(
         (g_ol.astype(jnp.float32) * out_l.astype(jnp.float32)).reshape(
             B, Nl, H, D

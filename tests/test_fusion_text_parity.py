@@ -13,6 +13,7 @@ convert_groundingdino_checkpoint consumes.
 import math
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
@@ -388,9 +389,12 @@ def test_fused_bi_attention_pallas_matches_xla():
     )
 
 
-def test_fused_bi_attention_grads_match_xla():
+@pytest.mark.parametrize("rv_slices", ["0", "1"])
+def test_fused_bi_attention_grads_match_xla(rv_slices, monkeypatch):
     """Flash backward (_fused_bwd_kernel) vs autodiff of the XLA
-    formulation: full param + input grads through BiMultiHeadAttention."""
+    formulation: full param + input grads through BiMultiHeadAttention.
+    Parametrized over FUSION_RV_SLICES (per-head lane-slice rv term)."""
+    monkeypatch.setenv("FUSION_RV_SLICES", rv_slices)
     from open_groundingdino_tpu.models.layers import BiMultiHeadAttention
 
     B, Nv, Nl, v_dim, l_dim, E, H = 2, 140, 12, 16, 12, 32, 4
