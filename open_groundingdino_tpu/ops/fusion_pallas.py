@@ -291,12 +291,13 @@ def _fused_bwd_impl(q, k, val_v, val_l, mv, ml, ml_max, sl, out_v, out_l,
     # per-(token, head) correction terms (tiny, computed in XLA):
     #   rv[b,v,h] = g_ov . out_v   (row-softmax colsum identity)
     #   cl[b,h,l] = g_ol . out_l
-    if bool(int(os.environ.get("FUSION_RV_SLICES", "0"))):
+    if bool(int(os.environ.get("FUSION_RV_SLICES", "1"))):
         # per-head static lane slices instead of reshape(B,N,H,D)+sum:
         # the reshape retiles the (B, 20224, 1024) f32 stream
         # T(8,128)->T(4,128) (~1 ms x 6 layers/step in the train trace);
         # lane-boundary slices (D = 2x128 lanes) are layout-preserving and
         # the sum fuses into the multiply.  Same values, same reduce order.
+        # Measured 0.5059 vs 0.5128 s/step same-session (2026-08-19).
         prod_v = g_ov.astype(jnp.float32) * out_v.astype(jnp.float32)
         rv = jnp.concatenate(
             [prod_v[..., h * D:(h + 1) * D].sum(-1, keepdims=True)

@@ -39,7 +39,8 @@ MEASURED_DEFAULTS = {
     "SWIN_HEADLOOP": "1",        # measured 28.027 vs 27.779 fwd, train
                                  # neutral 0.5627 vs 0.5639 (2026-08-19)
     "REMAT_SAVE_KERNELS": "1",   # measured 0.6162 vs 0.6270 s/step (2026-08-19)
-    "FUSION_RV_SLICES": "0",     # unmeasured (queued): per-head lane
+    "FUSION_RV_SLICES": "1",     # measured 0.5059 vs 0.5128 s/step
+                                 # same-session (2026-08-19): per-head lane
                                  # slices for the bwd rv term instead of
                                  # the reshape(B,N,H,D) retile
     "HUNGARIAN_MASKED": "1",     # measured 0.5131 vs 0.5190 s/step
