@@ -179,6 +179,40 @@ def _interleaved_query_order(spatial_shapes: Shapes) -> np.ndarray:
     return row_band_layout(spatial_shapes)[0]
 
 
+def _make_injective_take(idx_np, bwd_idx_np, bwd_pad: int):
+    """jnp.take(t, idx, axis=1) whose VJP is itself a take (ENC_TAKE_GATHER).
+
+    Autodiff of a take by a traced index transposes to a scatter-add — a
+    kCustom sort-based scatter costing ~1.2 ms per (B, 20224, 256) stream
+    in the train trace, 7x/step (6 per-layer value takes + the final
+    unpermute).  For an INJECTIVE trace-time index the transpose is exact
+    as a gather: grad[s] = g[j] when idx[j] == s else 0, i.e. a take by
+    the inverse mapping.  bwd_idx maps source positions -> consumer rows
+    (the inverse permutation); bwd_pad appends zero rows for source
+    positions beyond bwd_idx's range (the 128-pad tail, which receives no
+    gradient)."""
+    idx = jnp.asarray(idx_np)
+    bidx = jnp.asarray(bwd_idx_np)
+
+    @jax.custom_vjp
+    def f(t):
+        return jnp.take(t, idx, axis=1)
+
+    def fwd(t):
+        return f(t), None
+
+    def bwd(_, g):
+        gt = jnp.take(g, bidx, axis=1)
+        if bwd_pad:
+            pad = [(0, 0)] * gt.ndim
+            pad[1] = (0, bwd_pad)
+            gt = jnp.pad(gt, pad)
+        return (gt,)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 class DeformableEncoderLayer(nn.Module):
     d_model: int
     d_ffn: int
@@ -436,13 +470,19 @@ class Transformer(nn.Module):
             use_perm
             and _os.environ.get("MSDA_VALUE_LAYOUT", "raster") == "interleaved"
         )
+        take_gather = bool(int(_os.environ.get("ENC_TAKE_GATHER", "0")))
         if use_perm:
             perm_np = _interleaved_query_order(shapes)
+            inv_np = np.argsort(perm_np).astype(np.int32)
             perm = jnp.asarray(perm_np)
-            inv = jnp.asarray(np.argsort(perm_np).astype(np.int32))
+            inv = jnp.asarray(inv_np)
             take = lambda t, idx: jnp.take(t, idx, axis=1)
-            output = take(src, perm)
-            pos = take(pos, perm)
+            if take_gather:
+                tp = _make_injective_take(perm_np, inv_np, 0)
+                output, pos = tp(src), tp(pos)
+            else:
+                output = take(src, perm)
+                pos = take(pos, perm)
             reference_points = take(reference_points, perm)
             kpm_q = take(key_padding_mask, perm)  # query-order image mask
         else:
@@ -469,6 +509,12 @@ class Transformer(nn.Module):
             )
             kpm_q = jnp.pad(kpm_q, ((0, 0), (0, pn)), constant_values=True)
 
+        if use_perm:
+            take_live = (
+                _make_injective_take(inv_np, perm_np, output.shape[1] - S)
+                if take_gather else (lambda t: take(t, inv))
+            )
+
         for i in range(self.num_encoder_layers):
             if self.use_fusion_layer:
                 output, memory_text = fusion_cls(
@@ -489,7 +535,7 @@ class Transformer(nn.Module):
                     text_dict["position_ids"],
                 )
             value = None if use_ilv else (
-                take(output, inv) if use_perm else None
+                take_live(output) if use_perm else None
             )
             output = enc_cls(
                 d_model=self.d_model, d_ffn=self.dim_feedforward,
@@ -503,7 +549,7 @@ class Transformer(nn.Module):
                 kpm_q if use_ilv else key_padding_mask, value,
             )
         if use_perm:
-            output = take(output, inv)
+            output = take_live(output)
         return output, memory_text
 
     # ------------------------------------------------------------------
