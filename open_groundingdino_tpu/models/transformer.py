@@ -470,7 +470,9 @@ class Transformer(nn.Module):
             use_perm
             and _os.environ.get("MSDA_VALUE_LAYOUT", "raster") == "interleaved"
         )
-        take_gather = bool(int(_os.environ.get("ENC_TAKE_GATHER", "0")))
+        # gather-based VJPs for the injective takes: measured 0.4989 vs
+        # 0.5061 s/step same-session (2026-08-19); fwd program identical.
+        take_gather = bool(int(_os.environ.get("ENC_TAKE_GATHER", "1")))
         if use_perm:
             perm_np = _interleaved_query_order(shapes)
             inv_np = np.argsort(perm_np).astype(np.int32)

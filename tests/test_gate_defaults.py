@@ -39,8 +39,9 @@ MEASURED_DEFAULTS = {
     "SWIN_HEADLOOP": "1",        # measured 28.027 vs 27.779 fwd, train
                                  # neutral 0.5627 vs 0.5639 (2026-08-19)
     "REMAT_SAVE_KERNELS": "1",   # measured 0.6162 vs 0.6270 s/step (2026-08-19)
-    "ENC_TAKE_GATHER": "0",      # unmeasured (queued): gather-based VJPs
-                                 # for the encoder's injective takes
+    "ENC_TAKE_GATHER": "1",      # measured 0.4989 vs 0.5061 s/step
+                                 # same-session (2026-08-19): gather-based
+                                 # VJPs for the encoder's injective takes
     "FUSION_RV_SLICES": "1",     # measured 0.5059 vs 0.5128 s/step
                                  # same-session (2026-08-19): per-head lane
                                  # slices for the bwd rv term instead of
