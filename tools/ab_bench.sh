@@ -12,10 +12,12 @@
 #   3. record wins by flipping the default + a BENCH_NOTES trail row,
 #      losses as dead-end rows — either way the number lands in the notes.
 #
-# As of 2026-08-19 every queued candidate has been measured (QB256/band
-# sweep, MSDA_BAND_BWD, BENCH_SCAN, B-sweep: see BENCH_NOTES round-3
-# trail); the template below re-baselines and captures fresh profiles —
-# add new one-gate runs after the baseline rows.
+# As of 2026-08-19 (evening) every queued candidate has been measured
+# (QB256/band sweep, MSDA_BAND_BWD, BENCH_SCAN, B-sweep, and the three
+# scatter-family kills HUNGARIAN_MASKED / FUSION_RV_SLICES /
+# ENC_TAKE_GATHER — all flipped ON: see BENCH_NOTES round-3 trail); the
+# template below re-baselines and captures fresh profiles — add new
+# one-gate runs after the baseline rows.
 set -u
 R="${1:-/tmp/ab_results.log}"
 cd "$(dirname "$0")/.."
