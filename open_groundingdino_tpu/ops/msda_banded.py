@@ -636,6 +636,22 @@ def _banded_core(
     return out[:, :, :Q]
 
 
+def _bwd_debug_skip() -> str:
+    """MSDA_BWD_DEBUG_SKIP in {"", "gv", "cterms"}: attribution-only knob
+    that deletes one half of the backward kernel's work ("gv" keeps only
+    the loc/attn-grad C/Cp passes; "cterms" keeps only the grad_value
+    pass).  WRONG MATH — microbench attribution only, never a default."""
+    return os.environ.get("MSDA_BWD_DEBUG_SKIP", "")
+
+
+def _bwd_ccp() -> bool:
+    """MSDA_BWD_CCP=1: compute C and Cp with ONE (band*D, W) @ (W, 2*Q)
+    dot on the lane-concatenated [sx | sxp] matrix instead of two separate
+    dots — halves the per-window A-operand passes for the loc-grad terms.
+    Default OFF until a measured BENCH_NOTES row."""
+    return bool(int(os.environ.get("MSDA_BWD_CCP", "0")))
+
+
 def _msda_banded_bwd_kernel(
     ranges_ref,   # scalar prefetch (BH*nqb*NL*P*2,) int32
     *refs,
@@ -670,6 +686,8 @@ def _msda_banded_bwd_kernel(
 
     g = g_ref[0].astype(jnp.float32)            # (D, 128)
     rbase = (bh * nqb + qb) * NL * P * 2
+    skip = _bwd_debug_skip()
+    ccp = _bwd_ccp()
 
     for lvl, (Hl, Wl) in enumerate(spatial_shapes):
         band = bands[lvl]
@@ -711,36 +729,56 @@ def _msda_banded_bwd_kernel(
                 s_wa, s_px, s_py = carry
                 ybase = ylo + bi * band
                 A = vref[0, pl.ds(ybase * D, band * D), :]  # (band*D, W)
-                C = jax.lax.dot_general(
-                    A, sx_mm, dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=prec, preferred_element_type=jnp.float32,
-                )                                           # (band*D, 128)
-                Cp = jax.lax.dot_general(
-                    A, sxp_mm, dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=prec, preferred_element_type=jnp.float32,
-                )
                 yb = ybase.astype(jnp.float32)
+                if skip != "cterms":
+                    if ccp:
+                        CC = jax.lax.dot_general(
+                            A, jnp.concatenate([sx_mm, sxp_mm], axis=1),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=jnp.float32,
+                        )                               # (band*D, 2*128)
+                        C = CC[:, :QBLOCK]
+                        Cp = CC[:, QBLOCK:]
+                    else:
+                        C = jax.lax.dot_general(
+                            A, sx_mm,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=jnp.float32,
+                        )                                   # (band*D, 128)
+                        Cp = jax.lax.dot_general(
+                            A, sxp_mm,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=jnp.float32,
+                        )
                 b_rows = []
                 for r in range(band):
                     dy = py - (yb + r)                      # (1, 128)
                     ady = jnp.abs(dy)
                     wy = jnp.maximum(1.0 - ady, 0.0)
-                    dwy = jnp.where(ady < 1.0, -jnp.sign(dy), 0.0)
-                    Cr = C[r * D : (r + 1) * D, :]
-                    Cpr = Cp[r * D : (r + 1) * D, :]
-                    s_wa = s_wa + wy * Cr
-                    s_px = s_px + wy * Cpr
-                    s_py = s_py + dwy * Cr
-                    b_rows.append((wy * wa) * g)            # (D, 128)
-                B = jnp.concatenate(b_rows, axis=0)         # (band*D, 128)
-                if gvref.dtype == jnp.bfloat16:
-                    B = B.astype(jnp.bfloat16)
-                gvc = jax.lax.dot_general(
-                    B, sx_mm, dimension_numbers=(((1,), (1,)), ((), ())),
-                    precision=prec, preferred_element_type=jnp.float32,
-                )                                           # (band*D, W)
-                sl = pl.ds(ybase * D, band * D)
-                gvref[0, sl, :] = gvref[0, sl, :] + gvc.astype(gvref.dtype)
+                    if skip != "cterms":
+                        dwy = jnp.where(ady < 1.0, -jnp.sign(dy), 0.0)
+                        Cr = C[r * D : (r + 1) * D, :]
+                        Cpr = Cp[r * D : (r + 1) * D, :]
+                        s_wa = s_wa + wy * Cr
+                        s_px = s_px + wy * Cpr
+                        s_py = s_py + dwy * Cr
+                    if skip != "gv":
+                        b_rows.append((wy * wa) * g)        # (D, 128)
+                if skip != "gv":
+                    B = jnp.concatenate(b_rows, axis=0)     # (band*D, 128)
+                    if gvref.dtype == jnp.bfloat16:
+                        B = B.astype(jnp.bfloat16)
+                    gvc = jax.lax.dot_general(
+                        B, sx_mm, dimension_numbers=(((1,), (1,)), ((), ())),
+                        precision=prec, preferred_element_type=jnp.float32,
+                    )                                       # (band*D, W)
+                    sl = pl.ds(ybase * D, band * D)
+                    gvref[0, sl, :] = (
+                        gvref[0, sl, :] + gvc.astype(gvref.dtype)
+                    )
                 return (s_wa, s_px, s_py)
 
             zero = jnp.zeros((D, QBLOCK), jnp.float32)

@@ -26,6 +26,7 @@ MEASURED_DEFAULTS = {
     "SWIN_ATTN_PALLAS": "0",     # measured dead end (24.707 e2e)
     "MSDA_XY": "1",              # measured 28.121 fwd, 0.5568 train (2026-08-19)
     "MSDA_BWD_GV_MP": "0",       # measured dead end (0.600 vs 0.558 s)
+    "MSDA_BWD_CCP": "0",         # unmeasured (single [sx|sxp] C/Cp dot)
     "MSDA_BAND": "4",
     "MSDA_QBLOCK": "256",        # measured 30.277 fwd / 0.5182 s train at
                                  # band 4 (2026-08-19); 128 was 28.121/0.5568

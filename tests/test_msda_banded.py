@@ -306,6 +306,27 @@ def test_banded_bwd_v2_grads_parity(monkeypatch):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_banded_bwd_ccp_grads_parity(monkeypatch):
+    """MSDA_BWD_CCP=1 (single [sx | sxp] lane-concatenated dot for C and Cp
+    in the per-point backward) must produce identical gradients to the
+    two-dot default."""
+    monkeypatch.setenv("MSDA_BANDED_BWD", "1")
+    v_t, locs, attn = _inputs(29, loc_lo=-0.2, loc_hi=1.2)
+    vb = _banded_values(v_t)
+
+    def loss(vs, l, a):
+        return jnp.sum(jnp.sin(ms_deform_attn_banded(vs, SHAPES, l, a, NP)))
+
+    monkeypatch.setenv("MSDA_BWD_CCP", "0")
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
+    monkeypatch.setenv("MSDA_BWD_CCP", "1")
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_banded_module_xy_parity(monkeypatch):
     """MSDA_XY=1 (XY-major sampling locations, no minor-2 dims) must match
     the default layout exactly — forward and all parameter grads, both the

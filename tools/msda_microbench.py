@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--repeats", type=int, default=3,
                     help="timing repeats; reports the min (axon timing "
                          "has high run-to-run variance)")
+    ap.add_argument("--profile", default="",
+                    help="directory: capture a device trace around the "
+                         "timed loops and print per-op-bucket DEVICE time "
+                         "(robust against axon-tunnel RTT degradation, "
+                         "which inflates wall-clock mins 2x+ on bad days)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -105,6 +110,11 @@ def main():
         out = jf(*a)
         first = out[0] if isinstance(out, tuple) else out
         np.asarray(jax.tree_util.tree_leaves(first)[0]).ravel()[:1]
+        prof_dir = ""
+        if args.profile:
+            prof_dir = os.path.join(args.profile,
+                                    name.replace(" ", "_").replace("+", "_"))
+            jax.profiler.start_trace(prof_dir)
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.perf_counter()
@@ -114,6 +124,19 @@ def main():
             np.asarray(jax.tree_util.tree_leaves(first)[0]).ravel()[:1]
             dt = (time.perf_counter() - t0) / args.iters
             best = min(best, dt)
+        if prof_dir:
+            jax.profiler.stop_trace()
+            import importlib.util as _ilu
+            _spec = _ilu.spec_from_file_location(
+                "gdino_profile_tool",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "profile.py"))
+            _mod = _ilu.module_from_spec(_spec)
+            _spec.loader.exec_module(_mod)
+            summarize_trace = _mod.summarize_trace
+            print(f"--- device-time summary [{name}] "
+                  f"({args.repeats * args.iters} executions):")
+            summarize_trace(prof_dir, args.repeats * args.iters, top=12)
         print(f"{name}: {best*1e3:.1f} ms/layer (min of {args.repeats})")
         return out
 
