@@ -35,12 +35,38 @@ def _masked_u() -> bool:
     return bool(int(os.environ.get("HUNGARIAN_MASKED", "1")))
 
 
+def _row_reduce() -> bool:
+    """HUNGARIAN_RR=1: Jonker-Volgenant ROW-REDUCTION pre-pass.
+
+    The e-maxx formulation runs one Dijkstra (a data-dependent while loop
+    whose body is several small fused kernels — the 15.7 ms "Hungarian
+    while-loops" bucket of the train profile) per GT row.  JV first sets
+    u[i] = min_j cost[i, j] and greedily assigns each row to its argmin
+    column (collisions: lowest row wins) — duals stay feasible with v = 0
+    and claimed pairs tight, so shortest-path augmentation is only needed
+    for the rows that LOST a collision (rare: a handful of GT rows over
+    hundreds of query columns).  Exact: same optimal total cost; the
+    assignment may differ from the un-reduced solve under ties (tests
+    compare cost, not indices).
+
+    NOT column reduction: v[j] = min_i cost[i, j] is only valid for square
+    problems.  Rectangular (n rows << m cols) optimality needs v == 0 on
+    every unmatched column (the dual LSAP has v <= 0 with complementary
+    slackness on the <=1 column constraints; the e-maxx Dijkstra preserves
+    this by construction — it only ever decreases v on columns that end up
+    matched).  A column-reduction variant measured suboptimal on random
+    matrices for exactly this reason.  Default OFF until a measured
+    BENCH_NOTES row."""
+    return bool(int(os.environ.get("HUNGARIAN_RR", "0")))
+
+
 def _lsap_single(cost: jnp.ndarray, n_rows: jnp.ndarray) -> jnp.ndarray:
     """cost: (n, m) float32 (rows = GT, cols = queries), n <= m.
     n_rows: scalar int — only the first n_rows rows are assigned.
     Returns col index per row (m for unassigned rows)."""
     n, m = cost.shape
     masked = _masked_u()
+    rr = _row_reduce()
     # 1-indexed potentials/assignment arrays; col 0 is the virtual column.
     u = jnp.zeros((n + 1,), jnp.float32)
     v = jnp.zeros((m + 1,), jnp.float32)
@@ -49,7 +75,12 @@ def _lsap_single(cost: jnp.ndarray, n_rows: jnp.ndarray) -> jnp.ndarray:
 
     col_ids = jnp.arange(m + 1, dtype=jnp.int32)
 
-    def assign_row(i, state):
+    def assign_row(i, state, active=None):
+        """One shortest-augmenting-path step for row i.  `active` (CR path
+        only) skips the Dijkstra entirely by starting done=True — the
+        batched while_loop runs elements in lockstep, so inactive lanes
+        must no-op cheaply; with active=None the program is bit-identical
+        to the measured default."""
         u, v, p = state
 
         p = p.at[0].set(i)
@@ -94,7 +125,8 @@ def _lsap_single(cost: jnp.ndarray, n_rows: jnp.ndarray) -> jnp.ndarray:
                 return (u, v, p, minv, used, way, rowmask, j0, done)
             return (u, v, p, minv, used, way, j0, done)
 
-        init = (u, v, p, minv, used, way, j0, jnp.asarray(False))
+        done0 = jnp.asarray(False) if active is None else ~active
+        init = (u, v, p, minv, used, way, j0, done0)
         if masked:
             rowmask0 = jnp.zeros((n + 1,), bool)
             init = init[:6] + (rowmask0,) + init[6:]
@@ -116,9 +148,48 @@ def _lsap_single(cost: jnp.ndarray, n_rows: jnp.ndarray) -> jnp.ndarray:
         p, _ = jax.lax.while_loop(aug_cond, aug_body, (p, j0))
         return (u, v, p)
 
-    u, v, p = jax.lax.fori_loop(
-        1, n_rows.astype(jnp.int32) + 1, assign_row, (u, v, p)
-    )
+    if rr:
+        # ---- JV row reduction: u[i] = min over real columns, greedy claim
+        # of each row's argmin column (collisions: lowest row id wins).
+        # v stays 0 -> rectangular duals feasible, claimed pairs tight,
+        # unmatched columns keep v = 0 (required for optimality; see
+        # _row_reduce docstring).
+        row_ids = jnp.arange(n + 1, dtype=jnp.int32)
+        valid_row = (row_ids >= 1) & (row_ids <= n_rows)        # (n+1,)
+        costu = jnp.where(col_ids[None, :] >= 1, cost1, INF)    # (n+1, m+1)
+        u_rr = jnp.min(costu, axis=1)                           # (n+1,)
+        u = jnp.where(valid_row & jnp.isfinite(u_rr), u_rr, 0.0)
+        amin_col = jnp.argmin(costu, axis=1).astype(jnp.int32)  # (n+1,)
+        # winner per column: lowest valid row whose argmin is that column
+        winner = jnp.full((m + 1,), n + 1, jnp.int32)
+        winner = winner.at[jnp.where(valid_row, amin_col, m + 1)].min(
+            jnp.where(valid_row, row_ids, n + 1), mode="drop"
+        )
+        claim = valid_row & (winner[amin_col] == row_ids)
+        p = p.at[jnp.where(claim, amin_col, m + 1)].set(
+            jnp.where(claim, row_ids, 0), mode="drop"
+        )
+        # ordered free-row list; augment only those
+        free_mask = valid_row & ~claim
+        free_rows = jnp.sort(jnp.where(free_mask, row_ids, n + 1))
+        n_free = free_mask.sum().astype(jnp.int32)
+
+        def outer_cond(carry):
+            return carry[0] < n_free
+
+        def outer_body(carry):
+            k, u, v, p = carry
+            i = jnp.minimum(free_rows[jnp.minimum(k, n)], jnp.int32(n))
+            u, v, p = assign_row(i, (u, v, p), active=k < n_free)
+            return (k + 1, u, v, p)
+
+        _, u, v, p = jax.lax.while_loop(
+            outer_cond, outer_body, (jnp.int32(0), u, v, p)
+        )
+    else:
+        u, v, p = jax.lax.fori_loop(
+            1, n_rows.astype(jnp.int32) + 1, assign_row, (u, v, p)
+        )
 
     # invert p: row -> col (0-indexed; unassigned rows -> m)
     rows_for_cols = p[1:]  # (m,) row (1-indexed) per col, 0 = free

@@ -50,6 +50,7 @@ MEASURED_DEFAULTS = {
     "HUNGARIAN_MASKED": "1",     # measured 0.5131 vs 0.5190 s/step
                                  # same-session (2026-08-19): row-mask u
                                  # update replacing the JV scatter-add
+    "HUNGARIAN_RR": "0",         # unmeasured (JV row-reduction pre-pass)
 }
 
 GATE_RE = re.compile(r"environ\.get\(\s*\"([A-Z0-9_]+)\"\s*,\s*\"([^\"]*)\"")

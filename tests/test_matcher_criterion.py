@@ -99,6 +99,45 @@ def test_device_lsap_masked_u_variant(monkeypatch):
     _check_vs_scipy(got, cost, valid, exact_indices=False)
 
 
+def test_device_lsap_row_reduction_variant(monkeypatch):
+    """HUNGARIAN_RR=1 (JV row-reduction pre-pass + free-row-only
+    augmentation) must reach the scipy-optimal cost on every matrix; the
+    assignment itself may differ from the un-reduced solve under ties."""
+    rng = np.random.RandomState(13)
+    monkeypatch.setenv("HUNGARIAN_RR", "1")
+    for trial in range(6):
+        Qn, Gn = 40, int(rng.randint(1, 12))
+        cost = rng.randn(3, Qn, Gn).astype(np.float32) * 10
+        valid = rng.rand(3, Gn) > 0.3
+        if trial == 0:
+            valid[0] = False      # n_rows == 0 lane in a mixed batch
+            valid[1] = True       # all-valid lane
+        got = np.asarray(
+            hungarian_assign(jnp.asarray(cost), jnp.asarray(valid), method="device")
+        )
+        _check_vs_scipy(got, cost, valid, exact_indices=False)
+        assert (got[~valid] == Qn).all()
+    # degenerate: heavy ties (integer costs) — greedy claims collide hard,
+    # so most rows go through the augmentation path; must stay injective
+    # and optimal
+    cost = rng.randint(0, 3, (2, 15, 8)).astype(np.float32)
+    valid = np.ones((2, 8), bool)
+    got = np.asarray(
+        hungarian_assign(jnp.asarray(cost), jnp.asarray(valid), method="device")
+    )
+    _check_vs_scipy(got, cost, valid, exact_indices=False)
+    # adversarial: every row's argmin is the SAME column (one very cheap
+    # query) — exactly one greedy claim wins, all other rows augment
+    cost = np.full((1, 10, 5), 7.0, np.float32)
+    cost[0, 3, :] = -50.0                      # column 3 wins every argmin
+    cost[0] += rng.rand(10, 5).astype(np.float32)  # break remaining ties
+    valid = np.ones((1, 5), bool)
+    got = np.asarray(
+        hungarian_assign(jnp.asarray(cost), jnp.asarray(valid), method="device")
+    )
+    _check_vs_scipy(got, cost, valid, exact_indices=False)
+
+
 def test_one_hot_scatter():
     _, _, _, pos_maps, valid = _inputs()
     src = np.full((B, G), Q, np.int32)

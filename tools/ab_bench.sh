@@ -34,9 +34,14 @@ TRAIN=(python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py
 
 run "fwd-baseline-HEAD"      python bench.py
 run "train-baseline"         "${TRAIN[@]}"
-# >>> add one-gate candidate runs here, e.g.:
-# run "fwd-MY_GATE"          env MY_GATE=1 python bench.py
-# run "train-MY_GATE"        env MY_GATE=1 "${TRAIN[@]}"
+# >>> one-gate candidate runs (2026-08-20 queue):
+# JV row-reduction pre-pass for the device Hungarian (targets the
+# 15.7 ms while-loop bucket; program change -> fresh train compile)
+run "train-HUNGARIAN_RR"     env HUNGARIAN_RR=1 "${TRAIN[@]}"
+# XLA flag probes, fwd only (fresh ~5 min compile each; failures are
+# informational — unknown flags abort that run only)
+run "fwd-xla-vmem64m"        env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
+run "fwd-xla-no-lhs"         env XLA_FLAGS=--xla_tpu_enable_latency_hiding_scheduler=false python bench.py
 
 # Fresh attribution at the HEAD defaults (feeds the next optimization pick):
 PROF=(python tools/profile.py -c open_groundingdino_tpu/config/cfg_coco.py)
