@@ -1,0 +1,33 @@
+#!/bin/bash
+# Phase-2 on-chip measurements, run AFTER tools/ab_bench.sh completes
+# (serialized: ONE TPU process at a time — pass the ab_bench results file
+# as $2 and this script waits for its "ALL DONE" marker first).
+#
+#   bash tools/ab_bench_phase2.sh [results_file] [wait_on_log]
+#
+# Contents (2026-08-20 queue, written while the phase-1 queue ran):
+#   1. optimizer-share sizing (tools/opt_microbench.py --profile): decides
+#      whether a flat-per-group fused AdamW is worth building (round-4
+#      lever 2 — the 153 ms/step XLA-fusion long tail; per-leaf optimizer
+#      lowering is a suspect).  DEVICE time, robust to tunnel RTT.
+#   2. MSDA microbench at HEAD defaults with a device profile — fresh
+#      per-bucket attribution for the round-4 backward levers.
+set -u
+R="${1:-/tmp/ab_phase2.log}"
+WAIT="${2:-}"
+cd "$(dirname "$0")/.."
+
+if [ -n "$WAIT" ]; then
+  while ! grep -q "ALL DONE" "$WAIT" 2>/dev/null; do sleep 60; done
+fi
+
+run() {
+  local label="$1"; shift
+  echo "=== $label @ $(date +%H:%M:%S)" >> "$R"
+  timeout 3000 "$@" >> "$R" 2>&1
+  echo "rc=$? done @ $(date +%H:%M:%S)" >> "$R"
+}
+
+run "opt-microbench-HEAD" python tools/opt_microbench.py --profile /tmp/trace_opt_head
+run "msda-microbench-HEAD" python tools/msda_microbench.py --profile /tmp/trace_msda_head
+echo "PHASE2 DONE @ $(date +%H:%M:%S)" >> "$R"
