@@ -22,43 +22,31 @@ NEG_INF = float("-inf")
 
 class LayerNorm(nn.Module):
     """Drop-in `nn.LayerNorm` (same param names/shapes: scale, bias; same
-    fast-variance f32 math and output promotion) that routes big (B, L, C)
-    streams through the fused Pallas lane-reduction kernel
-    (ops/layernorm_pallas.py) — XLA's native lowering pays an L-minor
-    layout + cross-sublane reduction, ~1 ms per LN on the 20k-token
-    encoder stream at bench shapes."""
+    fast-variance f32 math and output promotion), with an optional fused
+    residual argument: LN(x + residual) in one call.
+
+    The Pallas LN / LN+residual kernels this class once dispatched to
+    measured as e2e dead ends (26.51 / 26.01 vs 27.84 img/s — breaking
+    XLA's LN+residual+elementwise fusions costs more than the standalone
+    LN bandwidth win; BENCH_NOTES 2026-08-18) and were pruned in round 4."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x, residual=None):
-        """LN(x) or, with `residual`, LN(x + residual) — the two-arg form
-        routes through the fused LN+residual kernel (LN_PALLAS_RES=1) so
-        the sum never materializes; identical math either way."""
-        from ..ops.layernorm_pallas import (
-            fused_layernorm,
-            fused_layernorm_residual,
-        )
-
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        shape = x.shape
-
-        def to3(a):
-            if a.ndim > 3:   # (B, ..., C) -> (B, prod(mid), C)
-                return a.reshape(shape[0], -1, C)
-            if a.ndim == 2:
-                return a[None]
-            return a
-
-        if residual is None:
-            y = fused_layernorm(to3(x), scale, bias, self.epsilon)
-        else:
-            y = fused_layernorm_residual(
-                to3(x), to3(residual), scale, bias, self.epsilon
-            )
-        return y.reshape(shape[:-1] + (C,))
+        if residual is not None:
+            x = x + residual
+        out_dtype = jnp.result_type(x.dtype, scale.dtype, bias.dtype)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        m2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        var = jnp.maximum(m2 - mu * mu, 0.0)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(out_dtype)
 
 
 class MultiHeadAttention(nn.Module):

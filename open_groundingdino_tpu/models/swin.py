@@ -109,11 +109,8 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, n_windows=0, shift_spec=None):
-        """x: (B_, N, C) windows; attn_mask: (nW, N, N) static or None.
-
-        n_windows/shift_spec feed the SWIN_ATTN_PALLAS fused kernel
-        (ops/swin_attn_pallas.py); the XLA paths use only attn_mask."""
+    def __call__(self, x, attn_mask=None):
+        """x: (B_, N, C) windows; attn_mask: (nW, N, N) static or None."""
         B_, N, C = x.shape
         H = self.num_heads
         D = C // H
@@ -131,42 +128,15 @@ class WindowAttention(nn.Module):
         wqkv = wqkv.astype(x.dtype).reshape(C, 3, H, D)
         bqkv = bqkv.astype(x.dtype).reshape(3, H, D)
 
-        # SWIN_BHND=1: emit q/k/v in batch-major (B_, H, N, D) so XLA's
-        # batched attention dots consume them directly — the bnhd form
-        # costs one layout copy per operand (trace at 21.7: 2x0.68 ms +
-        # 0.42 ms per stage-0 block); the bhnd form pays a single output
-        # transpose before proj instead.  Same contraction, same numbers.
+        # Measured round-3 dead ends pruned from this module (BENCH_NOTES
+        # keeps the rows): the fused Pallas window-attention kernel
+        # (SWIN_ATTN_PALLAS, -12% e2e), the batch-major bhnd qkv layout
+        # (SWIN_BHND, neutral), and the fused Pallas Swin MLP
+        # (MLP_PALLAS_SWIN, part of the MLP_PALLAS dead-end family).
         import os as _os
 
-        bhnd = bool(int(_os.environ.get("SWIN_BHND", "0")))
         headloop = bool(int(_os.environ.get("SWIN_HEADLOOP", "1")))
-        attn_pallas = bool(int(_os.environ.get("SWIN_ATTN_PALLAS", "0")))
         scale = jnp.asarray(D ** -0.5, x.dtype)
-        if attn_pallas and n_windows and N <= 64:
-            # fused window-attention kernel: q/k/v stay (B_, N, C) plain
-            # matmul outputs (no per-head tensors in XLA at all); bias/
-            # mask/softmax/AV fused in-kernel (ops/swin_attn_pallas.py)
-            from ..ops.swin_attn_pallas import swin_window_attention_fused
-
-            qkv_flat = [
-                jnp.einsum("bnc,cf->bnf", x, wqkv[:, i].reshape(C, C))
-                + bqkv[i].reshape(C)
-                for i in range(3)
-            ]
-            table = self.param(
-                "relative_position_bias_table",
-                nn.initializers.truncated_normal(0.02),
-                ((2 * ws - 1) * (2 * ws - 1), H),
-            )
-            rel_idx = _relative_position_index(ws).reshape(-1)
-            bias = jnp.transpose(
-                table[rel_idx].reshape(N, N, H), (2, 0, 1)
-            ).astype(jnp.float32)                        # (H, N, N)
-            out = swin_window_attention_fused(
-                qkv_flat[0], qkv_flat[1], qkv_flat[2], bias, H,
-                n_windows, shift_spec,
-            )
-            return nn.Dense(C, name="proj")(out)
         if headloop:
             # SWIN_HEADLOOP=1: never materialize a 4-D (B_, N, H, D) head
             # split.  q/k/v are plain (B_, N, C) dense outputs (one dot each,
@@ -204,21 +174,11 @@ class WindowAttention(nn.Module):
                 outs.append(jnp.einsum("bnm,bmd->bnd", attn.astype(x.dtype), vh))
             out = jnp.concatenate(outs, axis=-1)
             return nn.Dense(C, name="proj")(out)
-        if bhnd:
-            def proj(i):
-                return (
-                    jnp.einsum("bnc,chd->bhnd", x, wqkv[:, i])
-                    + bqkv[i][None, :, None, :]
-                )
+        def proj(i):
+            return jnp.einsum("bnc,chd->bnhd", x, wqkv[:, i]) + bqkv[i]
 
-            q, k, v = proj(0), proj(1), proj(2)
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
-        else:
-            def proj(i):
-                return jnp.einsum("bnc,chd->bnhd", x, wqkv[:, i]) + bqkv[i]
-
-            q, k, v = proj(0), proj(1), proj(2)
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        q, k, v = proj(0), proj(1), proj(2)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
 
         table = self.param(
             "relative_position_bias_table",
@@ -237,10 +197,7 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(B_, H, N, N)
 
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        if bhnd:
-            out = jnp.einsum("bhnm,bhmd->bnhd", attn, v).reshape(B_, N, C)
-        else:
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B_, N, C)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B_, N, C)
         return nn.Dense(C, name="proj")(out)
 
 
@@ -272,16 +229,13 @@ class SwinBlock(nn.Module):
         if self.shift_size > 0:
             x = jnp.roll(x, (-self.shift_size, -self.shift_size), axis=(1, 2))
             mask = _shift_attn_mask(Hp, Wp, ws, self.shift_size)
-            shift_spec = (Hp, Wp, ws, self.shift_size)
         else:
             mask = None
-            shift_spec = None
 
         wins = window_partition(x, ws)
         wins = WindowAttention(
             self.dim, self.num_heads, ws, self.qkv_bias, name="attn"
-        )(wins, mask, n_windows=(Hp // ws) * (Wp // ws),
-          shift_spec=shift_spec)
+        )(wins, mask)
         x = window_reverse(wins, ws, B, Hp, Wp)
 
         if self.shift_size > 0:
@@ -291,28 +245,9 @@ class SwinBlock(nn.Module):
         x = shortcut + x.reshape(B, L, C)
 
         h = LayerNorm(epsilon=1e-5, name="norm2")(x)
-        import os as _os2
-
-        from ..ops.mlp_pallas import _gate_on
-
-        if _gate_on("MLP_PALLAS_SWIN"):
-            # fused two-dot GELU MLP, (B*L, 4C) intermediate kept in VMEM
-            # (ops/mlp_pallas.py; same param tree as the Dense chain) —
-            # engages on the big early-stage streams, size-gated otherwise.
-            # MLP_PALLAS_SWIN overrides MLP_PALLAS for this site so the
-            # on-chip A/B can attribute encoder-FFN vs Swin-MLP separately.
-            from .deformable import _DenseParams
-            from ..ops.mlp_pallas import fused_mlp
-
-            F = int(C * self.mlp_ratio)
-            k1, b1 = _DenseParams(C, F, name="fc1")()
-            k2, b2 = _DenseParams(F, C, name="fc2")()
-            h = fused_mlp(h, k1, b1, k2, b2, activation="gelu",
-                          gate_env="MLP_PALLAS_SWIN")
-        else:
-            h = nn.Dense(int(C * self.mlp_ratio), name="fc1")(h)
-            h = nn.gelu(h, approximate=False)
-            h = nn.Dense(C, name="fc2")(h)
+        h = nn.Dense(int(C * self.mlp_ratio), name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(C, name="fc2")(h)
         return x + h
 
 

@@ -243,22 +243,11 @@ class DeformableEncoderLayer(nn.Module):
         # (post output_proj) still replayed the kernel in the backward,
         # because the projection's weight grad needed its unsaved input
         src = LayerNorm(epsilon=1e-5, name="norm1")(src, src2)
-        import os as _os1
-
-        if bool(int(_os1.environ.get("MLP_PALLAS", "0"))):
-            # fused FFN: both dots in one kernel, the (B*L, d_ffn)
-            # intermediate stays in VMEM (ops/mlp_pallas.py). Same param
-            # tree as the nn.Dense chain below.
-            from .deformable import _DenseParams
-            from ..ops.mlp_pallas import fused_mlp
-
-            k1, b1 = _DenseParams(self.d_model, self.d_ffn, name="linear1")()
-            k2, b2 = _DenseParams(self.d_ffn, self.d_model, name="linear2")()
-            h = fused_mlp(src, k1, b1, k2, b2)
-        else:
-            h = nn.Dense(self.d_ffn, name="linear1")(src)
-            h = nn.relu(h)
-            h = nn.Dense(self.d_model, name="linear2")(h)
+        # (the fused Pallas FFN this site once dispatched to measured as a
+        # dead end — 26.18 vs 27.84 img/s, BENCH_NOTES 2026-08-18; pruned)
+        h = nn.Dense(self.d_ffn, name="linear1")(src)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, name="linear2")(h)
         return LayerNorm(epsilon=1e-5, name="norm2")(src, h)
 
 

@@ -55,9 +55,10 @@ def _row_reduce() -> bool:
     slackness on the <=1 column constraints; the e-maxx Dijkstra preserves
     this by construction — it only ever decreases v on columns that end up
     matched).  A column-reduction variant measured suboptimal on random
-    matrices for exactly this reason.  Default OFF until a measured
-    BENCH_NOTES row."""
-    return bool(int(os.environ.get("HUNGARIAN_RR", "0")))
+    matrices for exactly this reason.  Default ON: measured 0.4996 vs
+    0.5070 s/step same-session (+1.5%, identical loss; BENCH_NOTES
+    2026-08-20)."""
+    return bool(int(os.environ.get("HUNGARIAN_RR", "1")))
 
 
 def _lsap_single(cost: jnp.ndarray, n_rows: jnp.ndarray) -> jnp.ndarray:

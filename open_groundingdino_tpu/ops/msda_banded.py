@@ -70,16 +70,6 @@ Shapes = Tuple[Tuple[int, int], ...]
 BAND = int(os.environ.get("MSDA_BAND", "4"))
 
 
-def _ssa_band() -> bool:
-    """SSA-accumulate band rows in the fwd window bodies (one scratch RMW
-    per window) — default OFF: the per-row-RMW form is the program the
-    27.761 img/s driver bench measured, and the SSA form has never compiled
-    on real Mosaic (the tunnel dropped before its A/B; interpret-mode
-    parity is green both ways).  Read at kernel-trace time so tests can
-    flip it; flip the default after measuring."""
-    return bool(int(os.environ.get("MSDA_SSA_BAND", "0")))
-
-
 def _banded_prep(locs_t, attn_t, spatial_shapes, xy=False):
     """Kernel-layout separable factors.
 
@@ -214,23 +204,13 @@ def _msda_banded_kernel(
                     preferred_element_type=jnp.float32,
                 )  # (band*D, 128)
                 yb = ybase.astype(jnp.float32)
-                if _ssa_band():
-                    # SSA-accumulate the band rows; one scratch RMW per
-                    # window (see the MP kernel note)
-                    local = None
-                    for r in range(band):
-                        wy = jnp.maximum(
-                            1.0 - jnp.abs(py - (yb + r)), 0.0
-                        ) * wa                                 # (1, 128)
-                        term = wy * C[r * D : (r + 1) * D, :]
-                        local = term if local is None else local + term
-                    acc_ref[:] = acc_ref[:] + local
-                else:  # per-row RMW — the measured-27.761 form
-                    for r in range(band):
-                        wy = jnp.maximum(
-                            1.0 - jnp.abs(py - (yb + r)), 0.0
-                        ) * wa                                 # (1, 128)
-                        acc_ref[:] = acc_ref[:] + wy * C[r * D : (r + 1) * D, :]
+                # per-row RMW — the measured-27.761 form (the SSA-chunked
+                # variant measured neutral 2026-08-18; pruned round 4)
+                for r in range(band):
+                    wy = jnp.maximum(
+                        1.0 - jnp.abs(py - (yb + r)), 0.0
+                    ) * wa                                 # (1, 128)
+                    acc_ref[:] = acc_ref[:] + wy * C[r * D : (r + 1) * D, :]
                 return 0
 
             jax.lax.fori_loop(0, n_it, band_body, 0)
@@ -396,96 +376,11 @@ def _msda_banded_mp_kernel(
                 preferred_element_type=jnp.float32,
             )  # (band*D, P*128)
             yb = ybase.astype(jnp.float32)
-            if _ssa_band():
-                # accumulate the band's rows in SSA registers and touch
-                # the scratch ONCE per window: band read-modify-writes of
-                # the (D, P*128) acc (64 vregs each) were hypothesized as
-                # the dominant VMEM round-trip in the window body
-                local = None
-                for r in range(band):
-                    wy = jnp.maximum(
-                        1.0 - jnp.abs(py - (yb + r)), 0.0
-                    ) * wa                                 # (1, P*128)
-                    term = wy * C[r * D : (r + 1) * D, :]
-                    local = term if local is None else local + term
-                acc_ref[:] = acc_ref[:] + local
-            else:  # per-row RMW — the measured-27.761 form
-                for r in range(band):
-                    wy = jnp.maximum(
-                        1.0 - jnp.abs(py - (yb + r)), 0.0
-                    ) * wa                                 # (1, P*128)
-                    acc_ref[:] = acc_ref[:] + wy * C[r * D : (r + 1) * D, :]
-            return 0
-
-        jax.lax.fori_loop(0, n_it, band_body, 0)
-
-    acc = acc_ref[:]
-    out = acc[:, 0:QBLOCK]
-    for p in range(1, P):
-        out = out + acc[:, p * QBLOCK : (p + 1) * QBLOCK]
-    out_ref[0] = out.astype(out_ref.dtype)
-
-
-def _msda_banded_mp_v2_kernel(
-    ranges_ref,   # scalar prefetch (BH*nqb*NL*2,) int32
-    *refs,
-    spatial_shapes: Shapes,
-    bands: Tuple[int, ...],
-    n_points: int,
-):
-    """MSDA_MP_V2=1 variant of _msda_banded_mp_kernel: the per-level column
-    positions arrive PRE-TILED as constant operands (NL extra refs of
-    (W_l, P*QBLOCK) f32, constant block index -> fetched once), so the sx
-    build is ONE fused relu chain over (W, P*128) instead of P per-point
-    builds + P-1 in-register lane concats of ~19-sublane-tile blocks + a
-    per-grid-step iota rebuild.  Same math, same band_body."""
-    NL = len(spatial_shapes)
-    values = refs[:NL]
-    colpos_refs = refs[NL : 2 * NL]
-    px_ref, py_ref, wa_ref, out_ref, acc_ref = refs[2 * NL : 2 * NL + 5]
-    D = out_ref.shape[1]
-    P = n_points
-    PQ = P * QBLOCK
-    bh = pl.program_id(0)
-    qb = pl.program_id(1)
-    nqb = pl.num_programs(1)
-
-    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
-    rbase = (bh * nqb + qb) * NL * 2
-
-    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-        band = bands[lvl]
-        vref = values[lvl]
-        bf16 = vref.dtype == jnp.bfloat16
-
-        ts = [lvl * P + p for p in range(P)]
-        px_cat = jnp.concatenate(
-            [px_ref[0, t : t + 1, :] for t in ts], axis=1
-        )                                     # (1, P*128)
-        sx = jnp.maximum(1.0 - jnp.abs(px_cat - colpos_refs[lvl][:]), 0.0)
-        py = jnp.concatenate(
-            [py_ref[0, t : t + 1, :] for t in ts], axis=1
-        )                                     # (1, P*128)
-        wa = jnp.concatenate(
-            [wa_ref[0, t : t + 1, :] for t in ts], axis=1
-        )
-        sx_mm = sx.astype(jnp.bfloat16) if bf16 else sx
-
-        ylo = ranges_ref[rbase + 2 * lvl]
-        n_it = ranges_ref[rbase + 2 * lvl + 1]
-
-        def band_body(bi, _, ylo=ylo, band=band, vref=vref,
-                      sx_mm=sx_mm, py=py, wa=wa):
-            ybase = ylo + bi * band
-            A = vref[0, pl.ds(ybase * D, band * D), :]  # (band*D, W)
-            C = jax.lax.dot_general(
-                A, sx_mm,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=(jax.lax.Precision.DEFAULT if bf16
-                           else jax.lax.Precision.HIGHEST),
-                preferred_element_type=jnp.float32,
-            )  # (band*D, P*128)
-            yb = ybase.astype(jnp.float32)
+            # per-row RMW — the measured-27.761 form (SSA-chunked variant
+            # measured neutral; colpos-as-VMEM-operand MP_V2 measured -1.2%
+            # e2e — register-generated iotas beat VMEM operand fetches in
+            # per-step-bound kernels.  Both pruned round 4; BENCH_NOTES
+            # keeps the rows)
             for r in range(band):
                 wy = jnp.maximum(
                     1.0 - jnp.abs(py - (yb + r)), 0.0
@@ -502,12 +397,6 @@ def _msda_banded_mp_v2_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _mp_v2() -> bool:
-    """MSDA_MP_V2=1: constant-operand colpos + single-chain sx build in the
-    MP forward kernel.  Default OFF until a measured BENCH_NOTES row."""
-    return bool(int(os.environ.get("MSDA_MP_V2", "0")))
-
-
 def _banded_mp_call(values, px, py, wa, ranges, spatial_shapes,
                     n_points, band):
     """values: per-level (BH, (H_l+band-1)*D, W_l); px/py/wa in the
@@ -519,10 +408,9 @@ def _banded_mp_call(values, px, py, wa, ranges, spatial_shapes,
     nqb = px.shape[-1] // QBLOCK
     bands = tuple(min(band, h) for h, w in spatial_shapes)
     D = values[0].shape[1] // (spatial_shapes[0][0] + bands[0] - 1)
-    v2 = _mp_v2()
 
     kernel = functools.partial(
-        _msda_banded_mp_v2_kernel if v2 else _msda_banded_mp_kernel,
+        _msda_banded_mp_kernel,
         spatial_shapes=spatial_shapes, bands=bands,
         n_points=n_points,
     )
@@ -532,17 +420,6 @@ def _banded_mp_call(values, px, py, wa, ranges, spatial_shapes,
                      memory_space=pltpu.VMEM)
         for (h, w), b in zip(spatial_shapes, bands)
     ]
-    extra_ops = []
-    if v2:
-        # pre-tiled column positions (XLA iota, not a numpy constant:
-        # custom_partitioning rejects jaxpr consts); constant block index
-        # -> fetched into VMEM once for the whole grid
-        for (h, w) in spatial_shapes:
-            extra_ops.append(jax.lax.broadcasted_iota(
-                jnp.float32, (w, P * QBLOCK), 0))
-            in_specs.append(pl.BlockSpec(
-                (w, P * QBLOCK), (lambda bh, qb, r: (0, 0)),
-                memory_space=pltpu.VMEM))
     in_specs += [
         pl.BlockSpec((1, NL * P, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                      memory_space=pltpu.VMEM)
@@ -563,7 +440,7 @@ def _banded_mp_call(values, px, py, wa, ranges, spatial_shapes,
         out_shape=jax.ShapeDtypeStruct(
             (BH, D, nqb * QBLOCK), values[0].dtype
         ),
-    )(ranges, *values, *extra_ops, px, py, wa)
+    )(ranges, *values, px, py, wa)
 
 
 @functools.lru_cache(maxsize=None)
@@ -644,35 +521,28 @@ def _bwd_debug_skip() -> str:
     return os.environ.get("MSDA_BWD_DEBUG_SKIP", "")
 
 
-def _bwd_ccp() -> bool:
-    """MSDA_BWD_CCP=1: compute C and Cp with ONE (band*D, W) @ (W, 2*Q)
-    dot on the lane-concatenated [sx | sxp] matrix instead of two separate
-    dots — halves the per-window A-operand passes for the loc-grad terms.
-    Default OFF until a measured BENCH_NOTES row."""
-    return bool(int(os.environ.get("MSDA_BWD_CCP", "0")))
-
-
 def _msda_banded_bwd_kernel(
     ranges_ref,   # scalar prefetch (BH*nqb*NL*P*2,) int32
     *refs,
     spatial_shapes: Shapes,
     bands: Tuple[int, ...],
     n_points: int,
-    colpos_operand: bool = False,
 ):
-    """Grid (BH, NQB).  refs = [value_l x NL, (colpos_l x NL if
-    colpos_operand), px, py, wa, g, gv_l x NL, gpx, gpy, gwa].  gv blocks
-    are revisited across the sequential qb axis (zeroed at qb==0,
-    read-modify-write after).  MSDA_BWD_V2=1 passes per-level column
-    positions as constant (W_l, QBLOCK) f32 operands instead of rebuilding
-    an iota+cast per (level, grid step)."""
+    """Grid (BH, NQB).  refs = [value_l x NL, px, py, wa, g, gv_l x NL,
+    gpx, gpy, gwa].  gv blocks are revisited across the sequential qb axis
+    (zeroed at qb==0, read-modify-write after).
+
+    Measured round-3/4 dead ends pruned from this kernel (BENCH_NOTES keeps
+    the rows): colpos-as-VMEM-operand (BWD_V2, mb 145 vs 96 ms/layer),
+    lane-concat [sx|sxp] C+Cp merged dot (BWD_CCP, -2.6% device bwd), and
+    the union-range gV hybrid (BWD_GV_MP, -7.6% train) — per-point ranges
+    beat every union variant because backward work scales with the sweep
+    range (dot K-width, B build, RMW bytes)."""
     NL = len(spatial_shapes)
     values = refs[:NL]
-    ncp = NL if colpos_operand else 0
-    colpos_refs = refs[NL : NL + ncp]
-    px_ref, py_ref, wa_ref, g_ref = refs[NL + ncp : NL + ncp + 4]
-    gv = refs[NL + ncp + 4 : NL + ncp + 4 + NL]
-    gpx_ref, gpy_ref, gwa_ref = refs[NL + ncp + 4 + NL :]
+    px_ref, py_ref, wa_ref, g_ref = refs[NL : NL + 4]
+    gv = refs[NL + 4 : NL + 4 + NL]
+    gpx_ref, gpy_ref, gwa_ref = refs[NL + 4 + NL :]
     D = g_ref.shape[1]
     P = n_points
     bh = pl.program_id(0)
@@ -687,19 +557,15 @@ def _msda_banded_bwd_kernel(
     g = g_ref[0].astype(jnp.float32)            # (D, 128)
     rbase = (bh * nqb + qb) * NL * P * 2
     skip = _bwd_debug_skip()
-    ccp = _bwd_ccp()
 
     for lvl, (Hl, Wl) in enumerate(spatial_shapes):
         band = bands[lvl]
         vref = values[lvl]
         gvref = gv[lvl]
         bf16 = vref.dtype == jnp.bfloat16
-        if colpos_operand:
-            colpos = colpos_refs[lvl][:]
-        else:
-            colpos = jax.lax.broadcasted_iota(
-                jnp.int32, (Wl, QBLOCK), 0
-            ).astype(jnp.float32)
+        colpos = jax.lax.broadcasted_iota(
+            jnp.int32, (Wl, QBLOCK), 0
+        ).astype(jnp.float32)
 
         for p in range(P):
             t = lvl * P + p
@@ -731,28 +597,18 @@ def _msda_banded_bwd_kernel(
                 A = vref[0, pl.ds(ybase * D, band * D), :]  # (band*D, W)
                 yb = ybase.astype(jnp.float32)
                 if skip != "cterms":
-                    if ccp:
-                        CC = jax.lax.dot_general(
-                            A, jnp.concatenate([sx_mm, sxp_mm], axis=1),
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            precision=prec,
-                            preferred_element_type=jnp.float32,
-                        )                               # (band*D, 2*128)
-                        C = CC[:, :QBLOCK]
-                        Cp = CC[:, QBLOCK:]
-                    else:
-                        C = jax.lax.dot_general(
-                            A, sx_mm,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            precision=prec,
-                            preferred_element_type=jnp.float32,
-                        )                                   # (band*D, 128)
-                        Cp = jax.lax.dot_general(
-                            A, sxp_mm,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            precision=prec,
-                            preferred_element_type=jnp.float32,
-                        )
+                    C = jax.lax.dot_general(
+                        A, sx_mm,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32,
+                    )                                   # (band*D, 128)
+                    Cp = jax.lax.dot_general(
+                        A, sxp_mm,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32,
+                    )
                 b_rows = []
                 for r in range(band):
                     dy = py - (yb + r)                      # (1, 128)
@@ -796,152 +652,6 @@ def _msda_banded_bwd_kernel(
             )
 
 
-def _msda_banded_bwd_gvmp_kernel(
-    ranges_ref,   # scalar prefetch (BH*nqb*NL*P*2,) int32
-    *refs,
-    spatial_shapes: Shapes,
-    bands: Tuple[int, ...],
-    n_points: int,
-):
-    """MSDA_BWD_GV_MP=1 hybrid backward: the loc/weight-grad passes stay
-    per-point (small (D, 128) fori carries — the full-MP backward's
-    register-pressure failure mode), but the grad_value scatter runs ONE
-    union-range pass per level: the P points' B matrices stand side by
-    side on lanes and a single (band*D, P*128) @ (W, P*128)^T dot sums all
-    P contributions, so each union window costs 1 dot + 1 gv RMW instead
-    of the per-point 4 + 4 (the RMW of the (band*D, W) slab is the
-    dominant VMEM round-trip).  Union [lo, hi] is computed from the
-    per-point scalar-prefetch ranges in SMEM; rows a point's band does not
-    cover contribute exact zeros (wy = 0 there by construction).
-
-    refs layout identical to _msda_banded_bwd_kernel (no colpos)."""
-    NL = len(spatial_shapes)
-    values = refs[:NL]
-    px_ref, py_ref, wa_ref, g_ref = refs[NL : NL + 4]
-    gv = refs[NL + 4 : NL + 4 + NL]
-    gpx_ref, gpy_ref, gwa_ref = refs[NL + 4 + NL :]
-    D = g_ref.shape[1]
-    P = n_points
-    bh = pl.program_id(0)
-    qb = pl.program_id(1)
-    nqb = pl.num_programs(1)
-
-    @pl.when(qb == 0)
-    def _zero():
-        for r in gv:
-            r[:] = jnp.zeros(r.shape, r.dtype)
-
-    g = g_ref[0].astype(jnp.float32)                # (D, 128)
-    g_mp = jnp.concatenate([g] * P, axis=1)         # (D, P*128)
-    rbase = (bh * nqb + qb) * NL * P * 2
-
-    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-        band = bands[lvl]
-        vref = values[lvl]
-        gvref = gv[lvl]
-        bf16 = vref.dtype == jnp.bfloat16
-        prec = (jax.lax.Precision.DEFAULT if bf16
-                else jax.lax.Precision.HIGHEST)
-        mmt = jnp.bfloat16 if bf16 else jnp.float32
-        colpos = jax.lax.broadcasted_iota(
-            jnp.int32, (Wl, QBLOCK), 0
-        ).astype(jnp.float32)
-
-        ts = [lvl * P + p for p in range(P)]
-        sx_parts, sxp_parts = [], []
-        for t in ts:
-            dxc = px_ref[0, t : t + 1, :] - colpos  # (W, 128)
-            adx = jnp.abs(dxc)
-            sx_parts.append(jnp.maximum(1.0 - adx, 0.0).astype(mmt))
-            sxp_parts.append(
-                jnp.where(adx < 1.0, -jnp.sign(dxc), 0.0).astype(mmt))
-        sx_mp = jnp.concatenate(sx_parts, axis=1)   # (W, P*128)
-        py_mp = jnp.concatenate(
-            [py_ref[0, t : t + 1, :] for t in ts], axis=1)  # (1, P*128)
-        wa_mp = jnp.concatenate(
-            [wa_ref[0, t : t + 1, :] for t in ts], axis=1)
-
-        # ---- per-point loc/weight grads (C / Cp; no gv work)
-        los, ends = [], []
-        for p in range(P):
-            t = ts[p]
-            py = py_ref[0, t : t + 1, :]
-            wa = wa_ref[0, t : t + 1, :]
-            sx_mm = sx_parts[p]
-            sxp_mm = sxp_parts[p]
-            ylo = ranges_ref[rbase + 2 * t]
-            n_it = ranges_ref[rbase + 2 * t + 1]
-            los.append(ylo)
-            ends.append(ylo + n_it * band)
-
-            def band_body(bi, carry, ylo=ylo, band=band, vref=vref,
-                          sx_mm=sx_mm, sxp_mm=sxp_mm, py=py,
-                          prec=prec, D=D):
-                s_wa, s_px, s_py = carry
-                ybase = ylo + bi * band
-                A = vref[0, pl.ds(ybase * D, band * D), :]
-                C = jax.lax.dot_general(
-                    A, sx_mm, dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=prec, preferred_element_type=jnp.float32,
-                )
-                Cp = jax.lax.dot_general(
-                    A, sxp_mm, dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=prec, preferred_element_type=jnp.float32,
-                )
-                yb = ybase.astype(jnp.float32)
-                for r in range(band):
-                    dy = py - (yb + r)
-                    ady = jnp.abs(dy)
-                    wy = jnp.maximum(1.0 - ady, 0.0)
-                    dwy = jnp.where(ady < 1.0, -jnp.sign(dy), 0.0)
-                    Cr = C[r * D : (r + 1) * D, :]
-                    Cpr = Cp[r * D : (r + 1) * D, :]
-                    s_wa = s_wa + wy * Cr
-                    s_px = s_px + wy * Cpr
-                    s_py = s_py + dwy * Cr
-                return (s_wa, s_px, s_py)
-
-            zero = jnp.zeros((D, QBLOCK), jnp.float32)
-            s_wa, s_px, s_py = jax.lax.fori_loop(
-                0, n_it, band_body, (zero, zero, zero)
-            )
-            gwa_ref[0, t : t + 1, :] = jnp.sum(
-                g * s_wa, axis=0, keepdims=True)
-            gpx_ref[0, t : t + 1, :] = wa * jnp.sum(
-                g * s_px, axis=0, keepdims=True)
-            gpy_ref[0, t : t + 1, :] = wa * jnp.sum(
-                g * s_py, axis=0, keepdims=True)
-
-        # ---- union-range gV pass: one dot + one RMW per window
-        lo_u = los[0]
-        end_u = ends[0]
-        for p in range(1, P):
-            lo_u = jnp.minimum(lo_u, los[p])
-            end_u = jnp.maximum(end_u, ends[p])
-        n_it_u = (end_u - lo_u + band - 1) // band
-
-        def gv_body(bi, _, lo_u=lo_u, band=band, gvref=gvref,
-                    sx_mp=sx_mp, py_mp=py_mp, wa_mp=wa_mp, g_mp=g_mp,
-                    prec=prec, D=D, mmt=mmt):
-            ybase = lo_u + bi * band
-            yb = ybase.astype(jnp.float32)
-            b_rows = []
-            for r in range(band):
-                wy = jnp.maximum(1.0 - jnp.abs(py_mp - (yb + r)), 0.0)
-                b_rows.append((wy * wa_mp) * g_mp)      # (D, P*128)
-            B = jnp.concatenate(b_rows, axis=0)         # (band*D, P*128)
-            B = B.astype(mmt)
-            gvc = jax.lax.dot_general(
-                B, sx_mp, dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32,
-            )                                           # (band*D, W)
-            sl = pl.ds(ybase * D, band * D)
-            gvref[0, sl, :] = gvref[0, sl, :] + gvc.astype(gvref.dtype)
-            return 0
-
-        jax.lax.fori_loop(0, n_it_u, gv_body, 0)
-
-
 def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
                      n_points, band):
     """values: per-level (BH, (H_l+band-1)*D, W_l) (zero tail rows);
@@ -955,36 +665,17 @@ def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
     D = g.shape[1]
     NP = px.shape[1]
 
-    v2 = bool(int(os.environ.get("MSDA_BWD_V2", "0")))
-    gv_mp = bool(int(os.environ.get("MSDA_BWD_GV_MP", "0")))
-    if gv_mp:
-        kernel = functools.partial(
-            _msda_banded_bwd_gvmp_kernel, spatial_shapes=spatial_shapes,
-            bands=bands, n_points=n_points,
-        )
-        v2 = False
-    else:
-        kernel = functools.partial(
-            _msda_banded_bwd_kernel, spatial_shapes=spatial_shapes,
-            bands=bands, n_points=n_points, colpos_operand=v2,
-        )
+    kernel = functools.partial(
+        _msda_banded_bwd_kernel, spatial_shapes=spatial_shapes,
+        bands=bands, n_points=n_points,
+    )
     interpret = jax.devices()[0].platform != "tpu"
-    # block heights follow the caller's padding (band-1 zero tail rows;
-    # 2*band-2 for the gv_mp union grid, whose windows can overshoot a
-    # per-point grid by band-1 rows)
+    # block heights follow the caller's padding (band-1 zero tail rows)
     val_specs = [
         pl.BlockSpec((1, v.shape[1], w), (lambda bh, qb, r: (bh, 0, 0)),
                      memory_space=pltpu.VMEM)
         for v, (h, w) in zip(values, spatial_shapes)
     ]
-    extra_ops, extra_specs = [], []
-    if v2:
-        for (h, w) in spatial_shapes:
-            extra_ops.append(jax.lax.broadcasted_iota(
-                jnp.float32, (w, QBLOCK), 0))
-            extra_specs.append(pl.BlockSpec(
-                (w, QBLOCK), (lambda bh, qb, r: (0, 0)),
-                memory_space=pltpu.VMEM))
     tap_spec = lambda: pl.BlockSpec(
         (1, NP, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
         memory_space=pltpu.VMEM,
@@ -992,7 +683,7 @@ def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, nqb),
-        in_specs=val_specs + extra_specs + [
+        in_specs=val_specs + [
             tap_spec(), tap_spec(), tap_spec(),
             pl.BlockSpec((1, D, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
@@ -1011,7 +702,7 @@ def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
         interpret=interpret,
         grid_spec=grid_spec,
         out_shape=out_shape,
-    )(ranges, *values, *extra_ops, px, py, wa, g)
+    )(ranges, *values, px, py, wa, g)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1025,239 +716,6 @@ def _banded_bwd_partitioned(spatial_shapes: Shapes, n_points: int,
         return tuple(
             _banded_bwd_call(values, px, py, wa, g, ranges2d.reshape(-1),
                              spatial_shapes, n_points, band)
-        )
-
-    in_factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
-        ("b", "n", "q"), ("b", "n", "q"), ("b", "n", "q"), ("b", "d", "q"),
-        ("b", "r"),
-    ]
-    out_factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
-        ("b", "n", "q"), ("b", "n", "q"), ("b", "n", "q"),
-    ]
-    return _batch_partitioned(impl, NL + 5, NL + 3,
-                              in_factors + out_factors)
-
-
-def _msda_banded_mp_bwd_kernel(
-    ranges_ref,   # scalar prefetch (BH*nqb*NL*2,) int32 (union ranges)
-    *refs,
-    spatial_shapes: Shapes,
-    bands: Tuple[int, ...],
-    n_points: int,
-):
-    """Multi-point backward, grid (BH, NQB).  refs = [value_l x NL, px,
-    py, wa, g, gv_l x NL, gpx, gpy, gwa, swa, spx, spy].  Per (level,
-    window): C/Cp via one (band*D, W) @ (W, P*128) dot each; the gV dot
-    contracts the full P*128 lane axis, summing the P points' scatter
-    contributions in one (band*D, P*128) @ (W, P*128)^T pass.
-
-    Register-pressure design (the first MP-bwd attempt spilled at 13.36
-    s/step with 3 x (D, P*128) f32 fori CARRIES): the per-level s_wa/
-    s_px/s_py accumulators live in VMEM scratch (one RMW per window, not
-    per row), and the window body is ordered so the gV pass — whose B
-    matrix needs only wy/wa/g, not C — completes and releases B before
-    C, then Cp, are materialized; peak live vector state stays ~one
-    (band*D, P*128) block plus the running sums."""
-    NL = len(spatial_shapes)
-    values = refs[:NL]
-    px_ref, py_ref, wa_ref, g_ref = refs[NL : NL + 4]
-    gv = refs[NL + 4 : NL + 4 + NL]
-    gpx_ref, gpy_ref, gwa_ref = refs[NL + 4 + NL : NL + 7 + NL]
-    swa_ref, spx_ref, spy_ref = refs[NL + 7 + NL :]
-    D = g_ref.shape[1]
-    P = n_points
-    PQ = P * QBLOCK
-    bh = pl.program_id(0)
-    qb = pl.program_id(1)
-    nqb = pl.num_programs(1)
-
-    @pl.when(qb == 0)
-    def _zero():
-        for r in gv:
-            r[:] = jnp.zeros(r.shape, r.dtype)
-
-    g1 = g_ref[0].astype(jnp.float32)               # (D, 128)
-    g = jnp.concatenate([g1] * P, axis=1)           # (D, P*128)
-    rbase = (bh * nqb + qb) * NL * 2
-
-    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-        band = bands[lvl]
-        vref = values[lvl]
-        gvref = gv[lvl]
-        bf16 = vref.dtype == jnp.bfloat16
-        colpos = jax.lax.broadcasted_iota(
-            jnp.int32, (Wl, QBLOCK), 0
-        ).astype(jnp.float32)
-
-        ts = [lvl * P + p for p in range(P)]
-        sx_parts, sxp_parts = [], []
-        for t in ts:
-            dxc = px_ref[0, t : t + 1, :] - colpos
-            adx = jnp.abs(dxc)
-            sx_parts.append(jnp.maximum(1.0 - adx, 0.0))
-            sxp_parts.append(
-                jnp.where(adx < 1.0, -jnp.sign(dxc), 0.0)
-            )
-        sx = jnp.concatenate(sx_parts, axis=1)      # (W, P*128)
-        sxp = jnp.concatenate(sxp_parts, axis=1)
-        py = jnp.concatenate(
-            [py_ref[0, t : t + 1, :] for t in ts], axis=1
-        )
-        wa = jnp.concatenate(
-            [wa_ref[0, t : t + 1, :] for t in ts], axis=1
-        )
-        if bf16:
-            sx_mm = sx.astype(jnp.bfloat16)
-            sxp_mm = sxp.astype(jnp.bfloat16)
-        else:
-            sx_mm, sxp_mm = sx, sxp
-        prec = (jax.lax.Precision.DEFAULT if bf16
-                else jax.lax.Precision.HIGHEST)
-
-        ylo = ranges_ref[rbase + 2 * lvl]
-        n_it = ranges_ref[rbase + 2 * lvl + 1]
-
-        swa_ref[:] = jnp.zeros((D, PQ), jnp.float32)
-        spx_ref[:] = jnp.zeros((D, PQ), jnp.float32)
-        spy_ref[:] = jnp.zeros((D, PQ), jnp.float32)
-
-        def band_body(bi, _, ylo=ylo, band=band, vref=vref,
-                      gvref=gvref, sx_mm=sx_mm, sxp_mm=sxp_mm,
-                      py=py, wa=wa, g=g, prec=prec, D=D):
-            ybase = ylo + bi * band
-            yb = ybase.astype(jnp.float32)
-            # pass 1 — gV: B needs only wy/wa/g, so it is built, used and
-            # released before C/Cp exist
-            b_rows = []
-            for r in range(band):
-                wy = jnp.maximum(1.0 - jnp.abs(py - (yb + r)), 0.0)
-                b_rows.append((wy * wa) * g)        # (D, P*128)
-            B = jnp.concatenate(b_rows, axis=0)     # (band*D, P*128)
-            if gvref.dtype == jnp.bfloat16:
-                B = B.astype(jnp.bfloat16)
-            gvc = jax.lax.dot_general(
-                B, sx_mm, dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32,
-            )                                       # (band*D, W)
-            A = vref[0, pl.ds(ybase * D, band * D), :]
-            sl = pl.ds(ybase * D, band * D)
-            gvref[0, sl, :] = gvref[0, sl, :] + gvc.astype(gvref.dtype)
-            # pass 2 — C terms (s_wa, s_py)
-            C = jax.lax.dot_general(
-                A, sx_mm, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32,
-            )                                       # (band*D, P*128)
-            l_wa = None
-            l_py = None
-            for r in range(band):
-                dy = py - (yb + r)
-                ady = jnp.abs(dy)
-                wy = jnp.maximum(1.0 - ady, 0.0)
-                dwy = jnp.where(ady < 1.0, -jnp.sign(dy), 0.0)
-                Cr = C[r * D : (r + 1) * D, :]
-                l_wa = wy * Cr if l_wa is None else l_wa + wy * Cr
-                l_py = dwy * Cr if l_py is None else l_py + dwy * Cr
-            swa_ref[:] = swa_ref[:] + l_wa
-            spy_ref[:] = spy_ref[:] + l_py
-            # pass 3 — Cp term (s_px)
-            Cp = jax.lax.dot_general(
-                A, sxp_mm, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32,
-            )
-            l_px = None
-            for r in range(band):
-                wy = jnp.maximum(1.0 - jnp.abs(py - (yb + r)), 0.0)
-                Cpr = Cp[r * D : (r + 1) * D, :]
-                l_px = wy * Cpr if l_px is None else l_px + wy * Cpr
-            spx_ref[:] = spx_ref[:] + l_px
-            return 0
-
-        jax.lax.fori_loop(0, n_it, band_body, 0)
-        s_wa = swa_ref[:]
-        s_px = spx_ref[:]
-        s_py = spy_ref[:]
-        for p in range(P):
-            t = lvl * P + p
-            sl = slice(p * QBLOCK, (p + 1) * QBLOCK)
-            wa_p = wa[:, sl]                        # (1, 128)
-            gwa_ref[0, t : t + 1, :] = jnp.sum(
-                g1 * s_wa[:, sl], axis=0, keepdims=True
-            )
-            gpx_ref[0, t : t + 1, :] = wa_p * jnp.sum(
-                g1 * s_px[:, sl], axis=0, keepdims=True
-            )
-            gpy_ref[0, t : t + 1, :] = wa_p * jnp.sum(
-                g1 * s_py[:, sl], axis=0, keepdims=True
-            )
-
-
-def _banded_mp_bwd_call(values, px, py, wa, g, ranges,
-                        spatial_shapes, n_points, band):
-    """values: per-level (BH, (H_l+band-1)*D, W_l); px/py/wa AND the tap
-    grads all in the ORIGINAL (BH, NL*P, Q_pad) layout; g (BH, D, Q_pad)
-    -> (gv per level f32, gpx, gpy, gwa)."""
-    NL = len(spatial_shapes)
-    BH = px.shape[0]
-    P = n_points
-    PQ = P * QBLOCK
-    nqb = px.shape[-1] // QBLOCK
-    Q_pad = nqb * QBLOCK
-    bands = tuple(min(band, h) for h, w in spatial_shapes)
-    D = g.shape[1]
-
-    kernel = functools.partial(
-        _msda_banded_mp_bwd_kernel, spatial_shapes=spatial_shapes,
-        bands=bands, n_points=n_points,
-    )
-    interpret = jax.devices()[0].platform != "tpu"
-    val_specs = [
-        pl.BlockSpec((1, (h + b - 1) * D, w), (lambda bh, qb, r: (bh, 0, 0)),
-                     memory_space=pltpu.VMEM)
-        for (h, w), b in zip(spatial_shapes, bands)
-    ]
-    tap_spec = lambda: pl.BlockSpec(
-        (1, NL * P, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
-        memory_space=pltpu.VMEM,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(BH, nqb),
-        in_specs=val_specs + [
-            tap_spec(), tap_spec(), tap_spec(),
-            pl.BlockSpec((1, D, QBLOCK), lambda bh, qb, r: (bh, 0, qb),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=val_specs + [tap_spec(), tap_spec(), tap_spec()],
-        scratch_shapes=[pltpu.VMEM((D, PQ), jnp.float32)
-                        for _ in range(3)],
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct(((BH,) + v.shape[1:]), jnp.float32)
-        for v in values
-    ] + [
-        jax.ShapeDtypeStruct((BH, NL * P, Q_pad), jnp.float32)
-        for _ in range(3)
-    ]
-    return pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-    )(ranges, *values, px, py, wa, g)
-
-
-@functools.lru_cache(maxsize=None)
-def _banded_mp_bwd_partitioned(spatial_shapes: Shapes, n_points: int,
-                               band: int):
-    NL = len(spatial_shapes)
-
-    def impl(*args):
-        values = list(args[:NL])
-        px, py, wa, g, ranges2d = args[NL : NL + 5]
-        return tuple(
-            _banded_mp_bwd_call(values, px, py, wa, g,
-                                ranges2d.reshape(-1), spatial_shapes,
-                                n_points, band)
         )
 
     in_factors = [("b", f"l{i}", f"w{i}") for i in range(NL)] + [
@@ -1318,42 +776,24 @@ def _banded_bwd_native(spatial_shapes, n_points, band, residuals, g,
         py = jnp.pad(py, pad)
         wa = jnp.pad(wa, pad)
         g = jnp.pad(g, ((0, 0), (0, 0), (0, Q_pad - Q)))
-    pad_bands = tuple(
-        (2 * b - 1) if bool(int(os.environ.get("MSDA_BWD_GV_MP", "0")))
-        else b
-        for b in bands
-    )
     values_p = tuple(
-        jnp.pad(v, ((0, 0), (0, (pb - 1) * (v.shape[1] // h)), (0, 0)))
-        for v, pb, (h, _w) in zip(values, pad_bands, spatial_shapes)
+        jnp.pad(v, ((0, 0), (0, (b - 1) * (v.shape[1] // h)), (0, 0)))
+        for v, b, (h, _w) in zip(values, bands, spatial_shapes)
     )
     NL = len(spatial_shapes)
-    # MP backward is gated SEPARATELY from the MP forward.  The first MP-bwd
-    # attempt spilled (fori carry 3 x (D, P*128) f32; 13.4 s/step vs 0.67 —
-    # BENCH_NOTES round-3 trail); the kernel now accumulates via VMEM
-    # scratch refs with a staged B -> C -> Cp window body to bound live
-    # vregs.  Flip the default once the restructure measures faster than
-    # the single-point backward on chip.
-    if bool(int(os.environ.get("MSDA_BANDED_MP_BWD", "0"))):
-        ranges = _band_ranges_mp(
-            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
-            bands, xy=xy,
-        )
-        outs = _banded_mp_bwd_partitioned(
-            tuple(spatial_shapes), n_points, band
-        )(
-            *values_p, px, py, wa, g, ranges,
-        )
-    else:
-        ranges = _band_ranges(
-            locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
-            bands, xy=xy,
-        )
-        outs = _banded_bwd_partitioned(
-            tuple(spatial_shapes), n_points, band
-        )(
-            *values_p, px, py, wa, g, ranges
-        )
+    # The backward always runs per-point ranges: every multi-point/union
+    # variant measured slower (MP_BWD 13.4 s vreg spill, restructured
+    # -10%, GV_MP hybrid -7.6% — BENCH_NOTES round-3 trail; pruned round 4)
+    # because backward work scales with the sweep range.
+    ranges = _band_ranges(
+        locs_t.astype(jnp.float32), spatial_shapes, Q_pad // QBLOCK,
+        bands, xy=xy,
+    )
+    outs = _banded_bwd_partitioned(
+        tuple(spatial_shapes), n_points, band
+    )(
+        *values_p, px, py, wa, g, ranges
+    )
     gvs = tuple(
         o[:, : v.shape[1], :].astype(v.dtype)
         for o, v in zip(outs[:NL], values)

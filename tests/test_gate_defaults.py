@@ -14,29 +14,22 @@ SRC = Path(__file__).resolve().parents[1] / "open_groundingdino_tpu"
 # gate -> default the bench measured (flip ONLY with a new measured row in
 # BENCH_NOTES.md)
 MEASURED_DEFAULTS = {
+    # NOTE (round 4): measured dead-end variant PATHS were deleted outright
+    # (MSDA_SSA_BAND, MSDA_MP_V2, MSDA_BWD_V2, MSDA_BWD_CCP, MSDA_BWD_GV_MP,
+    # MSDA_BANDED_MP_BWD, SWIN_BHND, SWIN_ATTN_PALLAS, LN_PALLAS,
+    # LN_PALLAS_RES, MLP_PALLAS) — BENCH_NOTES keeps their rows; this table
+    # now pins only gates whose code paths still exist.
     "MSDA_BANDED": "1",
     "MSDA_BANDED_DEC": "1",
     "MSDA_BANDED_MP": "1",
     "MSDA_BANDED_BWD": "1",
-    "MSDA_BANDED_MP_BWD": "0",   # 13.4 s/step dead end; restructure unmeasured
     "MSDA_DEC_SORT_ONCE": "1",
-    "MSDA_SSA_BAND": "0",        # measured neutral (27.755, 2026-08-18)
-    "MSDA_MP_V2": "0",           # measured dead end (27.687 e2e)
-    "MSDA_BWD_V2": "0",          # measured dead end (mb 145 vs 96)
-    "SWIN_ATTN_PALLAS": "0",     # measured dead end (24.707 e2e)
     "MSDA_XY": "1",              # measured 28.121 fwd, 0.5568 train (2026-08-19)
-    "MSDA_BWD_GV_MP": "0",       # measured dead end (0.600 vs 0.558 s)
-    "MSDA_BWD_CCP": "0",         # unmeasured (single [sx|sxp] C/Cp dot)
     "MSDA_BAND": "4",
     "MSDA_QBLOCK": "256",        # measured 30.277 fwd / 0.5182 s train at
                                  # band 4 (2026-08-19); 128 was 28.121/0.5568
     "MSDA_BAND_BWD": "0",        # 0 = follow MSDA_BAND; 2 and 8 measured
                                  # dead ends (0.527/0.558 vs 0.521 s/step)
-
-    "LN_PALLAS": "0",            # measured dead end (26.51 vs 27.84)
-    "LN_PALLAS_RES": "0",        # unmeasured
-    "MLP_PALLAS": "0",           # unmeasured
-    "SWIN_BHND": "0",            # measured neutral (27.832, 2026-08-18)
     "SWIN_HEADLOOP": "1",        # measured 28.027 vs 27.779 fwd, train
                                  # neutral 0.5627 vs 0.5639 (2026-08-19)
     "REMAT_SAVE_KERNELS": "1",   # measured 0.6162 vs 0.6270 s/step (2026-08-19)
@@ -50,7 +43,9 @@ MEASURED_DEFAULTS = {
     "HUNGARIAN_MASKED": "1",     # measured 0.5131 vs 0.5190 s/step
                                  # same-session (2026-08-19): row-mask u
                                  # update replacing the JV scatter-add
-    "HUNGARIAN_RR": "0",         # unmeasured (JV row-reduction pre-pass)
+    "HUNGARIAN_RR": "1",         # measured 0.4996 vs 0.5070 s/step
+                                 # same-session (2026-08-20): JV
+                                 # row-reduction pre-pass
 }
 
 GATE_RE = re.compile(r"environ\.get\(\s*\"([A-Z0-9_]+)\"\s*,\s*\"([^\"]*)\"")

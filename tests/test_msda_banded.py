@@ -106,47 +106,6 @@ def test_banded_grads_parity(bwd, bwd_band, monkeypatch):
         )
 
 
-def test_banded_multipoint_grads_parity(monkeypatch):
-    """MSDA_BANDED_MP_BWD=1: the union-band multi-point BACKWARD kernel
-    (scratch-ref accumulators, staged B -> C -> Cp window body) must match
-    the XLA reference grads."""
-    monkeypatch.setenv("MSDA_BANDED_MP", "1")
-    monkeypatch.setenv("MSDA_BANDED_MP_BWD", "1")
-    v_t, locs, attn = _inputs(7)
-    values = _banded_values(v_t)
-
-    def loss_b(vs, l, a):
-        return jnp.sum(jnp.sin(ms_deform_attn_banded(vs, SHAPES, l, a, NP)))
-
-    def loss_x(v, l, a):
-        return jnp.sum(jnp.sin(_xla_ref_dq(v, l, a)))
-
-    gb = jax.jit(jax.grad(loss_b, argnums=(0, 1, 2)))(
-        values, jnp.asarray(locs), jnp.asarray(attn)
-    )
-    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))(
-        jnp.asarray(v_t), jnp.asarray(locs), jnp.asarray(attn)
-    )
-    start = 0
-    for i, (h, w) in enumerate(SHAPES):
-        gr = (
-            np.asarray(gx[0][:, :, start : start + h * w])
-            .reshape(B * H, D, h, w)
-            .transpose(0, 2, 1, 3)
-            .reshape(B * H, h * D, w)
-        )
-        np.testing.assert_allclose(
-            np.asarray(gb[0][i]), gr, rtol=5e-4, atol=5e-4,
-            err_msg=f"grad_value level {i}",
-        )
-        start += h * w
-    for i, name in ((1, "locs"), (2, "attn")):
-        np.testing.assert_allclose(
-            np.asarray(gb[i]), np.asarray(gx[i]), rtol=5e-4, atol=5e-4,
-            err_msg=f"grad_{name}",
-        )
-
-
 def test_banded_module_matches_xla(monkeypatch):
     """Full MSDeformAttn with MSDA_BANDED=1 (projections + kernel + VJP +
     masks) vs impl='xla' — forward and all parameter grads."""
@@ -249,84 +208,6 @@ def test_banded_sorted_decoder_queries():
     assert np.isfinite(np.asarray(g)).all()
 
 
-@pytest.mark.parametrize("mp", ["0", "1"])
-def test_banded_forward_ssa_band_gate_parity(mp, monkeypatch):
-    """MSDA_SSA_BAND=1 (one scratch RMW per window) must match the default
-    per-row-RMW form on both the single-point and multi-point kernels —
-    the gate guards an unmeasured on-chip candidate (see ops/msda_banded
-    _ssa_band)."""
-    monkeypatch.setenv("MSDA_BANDED_MP", mp)
-    v_t, locs, attn = _inputs(5)
-
-    def run():
-        return jax.jit(
-            lambda vs, l, a: ms_deform_attn_banded(vs, SHAPES, l, a, NP)
-        )(_banded_values(v_t), locs, attn)
-
-    monkeypatch.setenv("MSDA_SSA_BAND", "0")
-    base = np.asarray(run())
-    monkeypatch.setenv("MSDA_SSA_BAND", "1")
-    ssa = np.asarray(run())
-    np.testing.assert_allclose(ssa, base, rtol=1e-5, atol=1e-5)
-    ref = _xla_ref_dq(v_t, locs, attn)
-    np.testing.assert_allclose(base, np.asarray(ref), rtol=1e-4, atol=1e-4)
-
-
-def test_banded_multipoint_v2_forward_parity(monkeypatch):
-    """MSDA_MP_V2=1 (constant-operand colpos + single-chain sx build) is a
-    pure restructuring of the MP forward — must match the XLA reference."""
-    monkeypatch.setenv("MSDA_BANDED_MP", "1")
-    monkeypatch.setenv("MSDA_MP_V2", "1")
-    v_t, locs, attn = _inputs(7)
-    out = jax.jit(
-        lambda vs, l, a: ms_deform_attn_banded(vs, SHAPES, l, a, NP)
-    )(_banded_values(v_t), locs, attn)
-    ref = _xla_ref_dq(v_t, locs, attn)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
-
-
-def test_banded_bwd_v2_grads_parity(monkeypatch):
-    """MSDA_BWD_V2=1 (constant-operand colpos in the per-point backward)
-    must produce identical gradients to the default backward."""
-    monkeypatch.setenv("MSDA_BANDED_BWD", "1")
-    v_t, locs, attn = _inputs(13)
-    vb = _banded_values(v_t)
-
-    def loss(vs, l, a):
-        return jnp.sum(ms_deform_attn_banded(vs, SHAPES, l, a, NP) ** 2)
-
-    monkeypatch.setenv("MSDA_BWD_V2", "0")
-    g0 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
-    monkeypatch.setenv("MSDA_BWD_V2", "1")
-    g1 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
-    for a, b in zip(jax.tree_util.tree_leaves(g0),
-                    jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-5)
-
-
-def test_banded_bwd_ccp_grads_parity(monkeypatch):
-    """MSDA_BWD_CCP=1 (single [sx | sxp] lane-concatenated dot for C and Cp
-    in the per-point backward) must produce identical gradients to the
-    two-dot default."""
-    monkeypatch.setenv("MSDA_BANDED_BWD", "1")
-    v_t, locs, attn = _inputs(29, loc_lo=-0.2, loc_hi=1.2)
-    vb = _banded_values(v_t)
-
-    def loss(vs, l, a):
-        return jnp.sum(jnp.sin(ms_deform_attn_banded(vs, SHAPES, l, a, NP)))
-
-    monkeypatch.setenv("MSDA_BWD_CCP", "0")
-    g0 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
-    monkeypatch.setenv("MSDA_BWD_CCP", "1")
-    g1 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
-    for a, b in zip(jax.tree_util.tree_leaves(g0),
-                    jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-5)
-
-
 def test_banded_module_xy_parity(monkeypatch):
     """MSDA_XY=1 (XY-major sampling locations, no minor-2 dims) must match
     the default layout exactly — forward and all parameter grads, both the
@@ -372,25 +253,3 @@ def test_banded_module_xy_parity(monkeypatch):
                 np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
                 err_msg=jax.tree_util.keystr(kp),
             )
-
-
-def test_banded_bwd_gvmp_grads_parity(monkeypatch):
-    """MSDA_BWD_GV_MP=1 (union-range multi-point gV pass, per-point
-    loc/weight grads) must produce identical gradients to the per-point
-    backward, including bottom-edge points (union-grid overshoot rows)."""
-    monkeypatch.setenv("MSDA_BANDED_BWD", "1")
-    # loc range pushed past the image so edge/padding rows are exercised
-    v_t, locs, attn = _inputs(23, loc_lo=-0.2, loc_hi=1.2)
-    vb = _banded_values(v_t)
-
-    def loss(vs, l, a):
-        return jnp.sum(jnp.sin(ms_deform_attn_banded(vs, SHAPES, l, a, NP)))
-
-    monkeypatch.setenv("MSDA_BWD_GV_MP", "0")
-    g0 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
-    monkeypatch.setenv("MSDA_BWD_GV_MP", "1")
-    g1 = jax.grad(loss, argnums=(0, 1, 2))(vb, locs, attn)
-    for a, b in zip(jax.tree_util.tree_leaves(g0),
-                    jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-5)

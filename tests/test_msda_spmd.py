@@ -89,22 +89,11 @@ def test_pallas_grads_sharded_parity():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize(
-    "env", [{}, {"MSDA_BANDED_MP_BWD": "1"}], ids=["default", "mp_bwd"]
-)
-def test_msda_module_pallas_sharded_train_grads(env, monkeypatch):
+def test_msda_module_pallas_sharded_train_grads(monkeypatch):
     """Full MSDeformAttn module (projections + kernel + custom VJP) with
     impl='pallas' vs impl='xla' under the sharded mesh: same params, same
     sharded batch, grads must agree — the unit version of a DP train step
-    running the kernel on every device.  Parametrized over the env-gated
-    multi-point backward so flipping its default is already SPMD-proven."""
-    # clear gates the case does not set, so an ambient shell export (e.g.
-    # mid-A/B MSDA_BANDED_MP_BWD=1) cannot make both cases test one path
-    for k in ("MSDA_BANDED_MP_BWD",):
-        if k not in env:
-            monkeypatch.delenv(k, raising=False)
-    for k, v in env.items():
-        monkeypatch.setenv(k, v)
+    running the kernel on every device."""
     mesh = make_mesh()
     rng = np.random.RandomState(2)
     C = H * D

@@ -123,31 +123,6 @@ def test_converter_matches_init_tree():
     assert len(out) == 3
 
 
-def test_window_attention_bhnd_layout_parity(monkeypatch):
-    """SWIN_BHND=1 (batch-major attention einsums) is a pure layout
-    choice — outputs must match the default form exactly."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from open_groundingdino_tpu.models.swin import WindowAttention
-
-    rng = np.random.RandomState(9)
-    x = jnp.asarray(rng.randn(12, 16, 32), jnp.float32)
-
-    def run(env):
-        monkeypatch.setenv("SWIN_BHND", env)
-        mod = WindowAttention(dim=32, num_heads=4, window_size=4)
-        p = mod.init(jax.random.PRNGKey(0), x)
-        return p, mod.apply(p, x)
-
-    p0, o0 = run("0")
-    p1, o1 = run("1")
-    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
-    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
-                               rtol=1e-6, atol=1e-6)
-
-
 def test_window_attention_headloop_parity(monkeypatch):
     """SWIN_HEADLOOP=1 (per-head 3-D batched dots, no 4-D head-split
     tensors) is a pure layout choice — outputs must match the default
@@ -174,75 +149,3 @@ def test_window_attention_headloop_parity(monkeypatch):
         assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
         np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
                                    rtol=1e-5, atol=1e-5)
-
-
-def test_window_attention_pallas_parity(monkeypatch):
-    """SWIN_ATTN_PALLAS=1 (fused block-diagonal window-attention kernel,
-    interpret mode on CPU) must match the XLA path, shifted and not."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from open_groundingdino_tpu.models.swin import (
-        WindowAttention, _shift_attn_mask,
-    )
-
-    rng = np.random.RandomState(21)
-    Hp = Wp = 8
-    ws, shift = 4, 2
-    nW = (Hp // ws) * (Wp // ws)
-    B_ = 3 * nW
-    x = jnp.asarray(rng.randn(B_, ws * ws, 32), jnp.float32)
-
-    for spec in (None, (Hp, Wp, ws, shift)):
-        mask = None if spec is None else _shift_attn_mask(*spec)
-
-        def run(env):
-            monkeypatch.setenv("SWIN_ATTN_PALLAS", env)
-            mod = WindowAttention(dim=32, num_heads=4, window_size=ws)
-            kw = dict(n_windows=nW, shift_spec=spec)
-            p = mod.init(jax.random.PRNGKey(0), x, mask, **kw)
-            out = mod.apply(p, x, mask, **kw)
-            g = jax.grad(
-                lambda pp: jnp.sum(mod.apply(pp, x, mask, **kw) ** 2)
-            )(p)
-            return p, out, g
-
-        p0, o0, g0 = run("0")
-        p1, o1, g1 = run("1")
-        assert (jax.tree_util.tree_structure(p0)
-                == jax.tree_util.tree_structure(p1))
-        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
-                                   rtol=1e-4, atol=1e-4)
-        for (kp, a), (_, b) in zip(
-            jax.tree_util.tree_leaves_with_path(g0),
-            jax.tree_util.tree_leaves_with_path(g1),
-        ):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
-                err_msg=jax.tree_util.keystr(kp))
-
-
-def test_swin_backbone_attn_pallas_parity(monkeypatch):
-    """Full nano Swin backbone with the fused attention kernel matches the
-    XLA path (exercises the SwinBlock wiring incl. shift/pad)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from open_groundingdino_tpu.models.swin import SwinConfig, SwinTransformer
-
-    c = SwinConfig.from_name("swin_nano_test")
-    x = jnp.asarray(np.random.RandomState(3).randn(2, 32, 48, 3), jnp.float32)
-
-    def run(env):
-        monkeypatch.setenv("SWIN_ATTN_PALLAS", env)
-        mod = SwinTransformer(c)
-        p = mod.init(jax.random.PRNGKey(0), x)
-        return mod.apply(p, x)
-
-    o0 = run("0")
-    o1 = run("1")
-    for a, b in zip(o0, o1):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4)
