@@ -201,16 +201,19 @@ def evaluate_coco(
     max_steps: Optional[int] = None,
 ):
     """Zero-shot / fine-tuned COCO eval: forward -> token->class projection ->
-    top-k -> numpy COCO mAP."""
+    top-k -> numpy COCO mAP.
+
+    SOFTWARE-PIPELINED (1 deep): batch i+1's forward + device postprocess
+    are dispatched (async jax) BEFORE batch i's host half (device->host
+    fetch, NMS, evaluator.update) runs, so host work overlaps device
+    execution — the reference's eval loop serializes these
+    (engine_multi.py:596-949; its per-batch .cpu() blocks the GPU queue)."""
     evaluator = CocoBboxEvaluator(coco_index)
     metric_logger = MetricLogger(logger=logger)
-    for i, batch in enumerate(metric_logger.log_every(loader, print_freq, "Eval")):
-        sharded = shard_batch(batch, mesh)
-        out = eval_step(params, sharded)
-        results = postprocessor(
-            {"pred_logits": out["pred_logits"], "pred_boxes": out["pred_boxes"]},
-            batch["orig_sizes"],
-        )
+
+    def finish(pending):
+        batch, dev_res, out_loss = pending
+        results = postprocessor.host(dev_res)
         preds = {}
         n_real = batch.get("n_real", len(results))
         for img_id, res in list(zip(batch["image_ids"].tolist(), results))[:n_real]:
@@ -227,10 +230,24 @@ def evaluate_coco(
                 "boxes": res["boxes"],
             }
         evaluator.update(preds)
-        if "loss" in out:
-            metric_logger.update(loss=float(out["loss"]))
+        if out_loss is not None:
+            metric_logger.update(loss=float(out_loss))
+
+    pending = None
+    for i, batch in enumerate(metric_logger.log_every(loader, print_freq, "Eval")):
+        sharded = shard_batch(batch, mesh)
+        out = eval_step(params, sharded)
+        dev_res = postprocessor.device(
+            {"pred_logits": out["pred_logits"], "pred_boxes": out["pred_boxes"]},
+            batch["orig_sizes"],
+        )
+        if pending is not None:
+            finish(pending)
+        pending = (batch, dev_res, out.get("loss"))
         if max_steps is not None and i + 1 >= max_steps:
             break
+    if pending is not None:
+        finish(pending)
 
     if jax.process_count() > 1:
         _merge_eval_across_hosts(evaluator)

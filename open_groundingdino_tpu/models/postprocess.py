@@ -119,13 +119,20 @@ class PostProcess:
         # callers (engine.evaluate_coco) must then skip contiguous_to_catid
         self.emits_coco_ids = coco_id_remap
 
-    def __call__(self, outputs: Dict, target_sizes: np.ndarray) -> List[Dict]:
-        scores, labels, boxes = postprocess(
+    def device(self, outputs: Dict, target_sizes: np.ndarray):
+        """Device half: projection + top-k + box scaling as async jax ops —
+        returns DEVICE arrays (no host sync), so eval loops can dispatch
+        the next batch's forward before fetching these."""
+        return postprocess(
             outputs["pred_logits"], outputs["pred_boxes"],
             jnp.asarray(self.pos_map), jnp.asarray(target_sizes),
             self.num_select,
         )
-        scores, labels, boxes = map(np.asarray, (scores, labels, boxes))
+
+    def host(self, dev_results) -> List[Dict]:
+        """Host half: fetch + optional NMS + per-image listify.  The
+        np.asarray here is the only device->host sync of the eval loop."""
+        scores, labels, boxes = map(np.asarray, dev_results)
         results = []
         for s, l, b in zip(scores, labels, boxes):
             if self.nms_iou_threshold > 0:
@@ -133,3 +140,6 @@ class PostProcess:
                 s, l, b = s[keep], l[keep], b[keep]
             results.append({"scores": s, "labels": l, "boxes": b})
         return results
+
+    def __call__(self, outputs: Dict, target_sizes: np.ndarray) -> List[Dict]:
+        return self.host(self.device(outputs, target_sizes))

@@ -179,7 +179,11 @@ def _interleaved_query_order(spatial_shapes: Shapes) -> np.ndarray:
     return row_band_layout(spatial_shapes)[0]
 
 
-def _make_injective_take(idx_np, bwd_idx_np, bwd_pad: int):
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _injective_take_fn(bwd_pad: int):
     """jnp.take(t, idx, axis=1) whose VJP is itself a take (ENC_TAKE_GATHER).
 
     Autodiff of a take by a traced index transposes to a scatter-add — a
@@ -190,27 +194,42 @@ def _make_injective_take(idx_np, bwd_idx_np, bwd_pad: int):
     the inverse mapping.  bwd_idx maps source positions -> consumer rows
     (the inverse permutation); bwd_pad appends zero rows for source
     positions beyond bwd_idx's range (the 128-pad tail, which receives no
-    gradient)."""
-    idx = jnp.asarray(idx_np)
-    bidx = jnp.asarray(bwd_idx_np)
+    gradient).
+
+    The index arrays are explicit ARGUMENTS (int-typed, zero-tangent), not
+    closure constants: a closed-over `jnp.asarray` built inside flax's
+    nn.scan broadcast-probe trace leaks that trace's tracer into the real
+    scan body (UnexpectedTracerError) — with arguments, the scan path
+    passes the indices as broadcast inputs and nothing is created in-body."""
 
     @jax.custom_vjp
-    def f(t):
+    def f(t, idx, bidx):
         return jnp.take(t, idx, axis=1)
 
-    def fwd(t):
-        return f(t), None
+    def fwd(t, idx, bidx):
+        return jnp.take(t, idx, axis=1), (bidx, idx.shape)
 
-    def bwd(_, g):
+    def bwd(res, g):
+        bidx, idx_shape = res
         gt = jnp.take(g, bidx, axis=1)
         if bwd_pad:
             pad = [(0, 0)] * gt.ndim
             pad[1] = (0, bwd_pad)
             gt = jnp.pad(gt, pad)
-        return (gt,)
+        z = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
+        return (gt, z(idx_shape), z(bidx.shape))
 
     f.defvjp(fwd, bwd)
     return f
+
+
+def _make_injective_take(idx_np, bwd_idx_np, bwd_pad: int):
+    """Closure-style wrapper over _injective_take_fn for non-scan call
+    sites (constants created in the caller's own trace)."""
+    idx = jnp.asarray(idx_np)
+    bidx = jnp.asarray(bwd_idx_np)
+    take = _injective_take_fn(int(bwd_pad))
+    return lambda t: take(t, idx, bidx)
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -249,6 +268,74 @@ class DeformableEncoderLayer(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(self.d_model, name="linear2")(h)
         return LayerNorm(epsilon=1e-5, name="norm2")(src, h)
+
+
+class _EncoderScanBlock(nn.Module):
+    """One encoder iteration (fusion -> text enhancer -> deformable layer)
+    in lax.scan form: called under nn.scan with variable_axes={'params': 0}
+    so the six layers' params stack on a leading axis and XLA compiles the
+    layer body ONCE (ENC_SCAN=1; reference runs the same loop eagerly,
+    transformer.py:550-598).  Param names inside the block match the
+    per-layer path minus the _{i} suffix ('fusion', 'text_layer',
+    'enc_layer'); utils/checkpoint.stack_encoder_scan_params maps between
+    the two layouts."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    num_feature_levels: int
+    enc_n_points: int
+    use_fusion_layer: bool
+    use_text_enhancer: bool
+    fusion_droppath: float
+    deterministic: bool
+    msda_impl: str
+    spatial_shapes: Shapes
+    use_ilv: bool
+    use_perm: bool
+    take_gather: bool
+    n_pad: int
+
+    @nn.compact
+    def __call__(self, carry, pos, reference_points, kpm_q,
+                 key_padding_mask, text_sam, text_pos_ids, text_pad,
+                 take_idx, take_bidx):
+        output, memory_text = carry
+        if self.use_fusion_layer:
+            output, memory_text = BiAttentionBlock(
+                v_dim=self.d_model, l_dim=self.d_model,
+                embed_dim=self.dim_feedforward // 2,
+                num_heads=self.nhead // 2,
+                droppath=self.fusion_droppath,
+                deterministic=self.deterministic,
+                name="fusion",
+            )(output, memory_text, kpm_q, text_pad)
+        if self.use_text_enhancer:
+            memory_text = TextEnhancerLayer(
+                d_model=self.d_model, nhead=self.nhead // 2,
+                dim_feedforward=self.dim_feedforward // 2,
+                name="text_layer",
+            )(memory_text, text_sam, text_pos_ids)
+        value = None
+        if not self.use_ilv and self.use_perm:
+            if self.take_gather:
+                value = _injective_take_fn(self.n_pad)(
+                    output, take_idx, take_bidx
+                )
+            else:
+                value = jnp.take(output, take_idx, axis=1)
+        output = DeformableEncoderLayer(
+            d_model=self.d_model, d_ffn=self.dim_feedforward,
+            n_levels=self.num_feature_levels, n_heads=self.nhead,
+            n_points=self.enc_n_points, msda_impl=self.msda_impl,
+            spatial_shapes=self.spatial_shapes,
+            msda_value_layout="interleaved" if self.use_ilv else "raster",
+            name="enc_layer",
+        )(
+            output, pos, reference_points,
+            kpm_q if self.use_ilv else key_padding_mask, value,
+        )
+        return (output, memory_text), None
 
 
 class DeformableDecoderLayer(nn.Module):
@@ -506,39 +593,94 @@ class Transformer(nn.Module):
                 if take_gather else (lambda t: take(t, inv))
             )
 
-        for i in range(self.num_encoder_layers):
-            if self.use_fusion_layer:
-                output, memory_text = fusion_cls(
-                    v_dim=self.d_model, l_dim=self.d_model,
-                    embed_dim=self.dim_feedforward // 2, num_heads=self.nhead // 2,
-                    droppath=self.fusion_droppath,
-                    deterministic=deterministic,
-                    name=f"fusion_{i}",
-                )(output, memory_text, kpm_q, text_pad)
-            if self.use_text_enhancer:
-                memory_text = TextEnhancerLayer(
-                    d_model=self.d_model, nhead=self.nhead // 2,
-                    dim_feedforward=self.dim_feedforward // 2,
-                    name=f"text_layer_{i}",
-                )(
-                    memory_text,
-                    text_dict["text_self_attention_masks"],
-                    text_dict["position_ids"],
+        # ENC_SCAN=1: run the 6 structurally-identical encoder iterations as
+        # ONE lax.scan over stacked per-layer params (fewer unique XLA
+        # programs: targets the >20-min fresh-compile cost and the 153
+        # ms/step fusion long tail — BENCH_NOTES round-4 lever 2; reference
+        # executes the same layer loop eagerly, transformer.py:550-598).
+        # Default OFF until a measured A/B row; parity test
+        # tests/test_encoder_scan.py.
+        if bool(int(_os.environ.get("ENC_SCAN", "0"))):
+            block_cls = _EncoderScanBlock
+            if self.use_checkpoint or self.use_transformer_ckpt:
+                block_cls = nn.remat(
+                    block_cls, policy=_policy,
+                    static_argnums=(),
                 )
-            value = None if use_ilv else (
-                take_live(output) if use_perm else None
+            scan_cls = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 9,
+                length=self.num_encoder_layers,
             )
-            output = enc_cls(
-                d_model=self.d_model, d_ffn=self.dim_feedforward,
-                n_levels=self.num_feature_levels, n_heads=self.nhead,
-                n_points=self.enc_n_points, msda_impl=impl_resolved,
+            if use_perm:
+                # live-token take indices for the per-layer value stream,
+                # passed as broadcast scan inputs (in-body constants leak
+                # flax's broadcast-probe tracers — see _injective_take_fn)
+                take_idx = jnp.asarray(inv_np)
+                take_bidx = jnp.asarray(perm_np)
+                n_pad = output.shape[1] - S
+            else:
+                take_idx = take_bidx = jnp.zeros((0,), jnp.int32)
+                n_pad = 0
+            (output, memory_text), _ = scan_cls(
+                d_model=self.d_model, nhead=self.nhead,
+                dim_feedforward=self.dim_feedforward,
+                num_feature_levels=self.num_feature_levels,
+                enc_n_points=self.enc_n_points,
+                use_fusion_layer=self.use_fusion_layer,
+                use_text_enhancer=self.use_text_enhancer,
+                fusion_droppath=self.fusion_droppath,
+                deterministic=deterministic,
+                msda_impl=impl_resolved,
                 spatial_shapes=shapes,
-                msda_value_layout="interleaved" if use_ilv else "raster",
-                name=f"enc_layer_{i}",
+                use_ilv=use_ilv,
+                use_perm=use_perm,
+                take_gather=take_gather,
+                n_pad=n_pad,
+                name="enc_scan",
             )(
-                output, pos, reference_points,
-                kpm_q if use_ilv else key_padding_mask, value,
+                (output, memory_text),
+                pos, reference_points, kpm_q, key_padding_mask,
+                text_dict["text_self_attention_masks"],
+                text_dict["position_ids"], text_pad,
+                take_idx, take_bidx,
             )
+        else:
+            for i in range(self.num_encoder_layers):
+                if self.use_fusion_layer:
+                    output, memory_text = fusion_cls(
+                        v_dim=self.d_model, l_dim=self.d_model,
+                        embed_dim=self.dim_feedforward // 2, num_heads=self.nhead // 2,
+                        droppath=self.fusion_droppath,
+                        deterministic=deterministic,
+                        name=f"fusion_{i}",
+                    )(output, memory_text, kpm_q, text_pad)
+                if self.use_text_enhancer:
+                    memory_text = TextEnhancerLayer(
+                        d_model=self.d_model, nhead=self.nhead // 2,
+                        dim_feedforward=self.dim_feedforward // 2,
+                        name=f"text_layer_{i}",
+                    )(
+                        memory_text,
+                        text_dict["text_self_attention_masks"],
+                        text_dict["position_ids"],
+                    )
+                value = None if use_ilv else (
+                    take_live(output) if use_perm else None
+                )
+                output = enc_cls(
+                    d_model=self.d_model, d_ffn=self.dim_feedforward,
+                    n_levels=self.num_feature_levels, n_heads=self.nhead,
+                    n_points=self.enc_n_points, msda_impl=impl_resolved,
+                    spatial_shapes=shapes,
+                    msda_value_layout="interleaved" if use_ilv else "raster",
+                    name=f"enc_layer_{i}",
+                )(
+                    output, pos, reference_points,
+                    kpm_q if use_ilv else key_padding_mask, value,
+                )
         if use_perm:
             output = take_live(output)
         return output, memory_text

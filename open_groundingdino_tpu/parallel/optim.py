@@ -127,6 +127,16 @@ def make_optimizer(
             jax.tree_util.tree_structure(labels), new_leaves
         )
 
+    import os
+
+    if bool(int(os.environ.get("OPT_FLAT", "0"))):
+        return _flat_grouped_adamw(
+            labels,
+            {"base": base_mult, "backbone": backbone_mult,
+             "linear_proj": lr_linear_proj_mult},
+            lr, weight_decay, clip_max_norm,
+        )
+
     tx = optax.multi_transform(
         {
             "base": adamw(base_mult),
@@ -137,6 +147,106 @@ def make_optimizer(
         labels,
     )
     return optax.chain(safe_clip_by_global_norm(clip_max_norm), tx)
+
+
+def _flat_grouped_adamw(labels, mults, lr, weight_decay, clip_max_norm,
+                        b1=0.9, b2=0.999, eps=1e-8):
+    """OPT_FLAT=1: AdamW over ONE concatenated 1-D buffer per param group.
+
+    The per-leaf optax lowering emits one fused multiply-add (+reduce for
+    the clip) PER LEAF per step — 858 leaves x ~24 us of fixed per-op cost
+    = 20.6 ms device/step measured at flagship params (opt_microbench
+    2026-08-20), almost all dispatch overhead on <1 ms of actual FLOPs.
+    Flattening each group to a single vector turns that into ~4 large
+    fused ops + one concat/split round-trip (~1.4 GB of HBM traffic,
+    ~2 ms).  Same math: global-norm clip (overflow-safe, like
+    safe_clip_by_global_norm), per-group lr multipliers, decoupled weight
+    decay — bitwise order differs only in f32 reduction association.
+
+    State: {group: {"m": vec, "v": vec}, "count": scalar} — NOTE a
+    different opt_state tree than the optax chain; checkpoints written
+    with one layout don't resume into the other (gate accordingly)."""
+    lbl_leaves = jax.tree_util.tree_leaves(labels)
+    group_names = sorted({l for l in lbl_leaves if l != "frozen"})
+
+    def _group_ravel(tree):
+        """leaves grouped by label, each group concatenated to a vec."""
+        leaves = jax.tree_util.tree_leaves(tree)
+        out = {}
+        for g in group_names:
+            sel = [l for l, lab in zip(leaves, lbl_leaves) if lab == g]
+            out[g] = (
+                jnp.concatenate([jnp.ravel(x) for x in sel])
+                if sel else jnp.zeros((0,), jnp.float32)
+            )
+        return out
+
+    def _group_unravel(vecs, template):
+        leaves = jax.tree_util.tree_leaves(template)
+        offs = {g: 0 for g in group_names}
+        new = []
+        for l, lab in zip(leaves, lbl_leaves):
+            if lab == "frozen":
+                new.append(jnp.zeros_like(l))
+                continue
+            n = l.size
+            seg = vecs[lab][offs[lab]: offs[lab] + n]
+            offs[lab] += n
+            new.append(seg.reshape(l.shape).astype(l.dtype))
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template), new
+        )
+
+    def sched(step, mult):
+        base = lr(step) if callable(lr) else lr
+        return base * mult
+
+    def init_fn(params):
+        vecs = _group_ravel(params)
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "m": {g: jnp.zeros_like(v) for g, v in vecs.items()},
+            "v": {g: jnp.zeros_like(v) for g, v in vecs.items()},
+        }
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "flat AdamW needs params (weight decay)"
+        g_vecs = {g: v.astype(jnp.float32)
+                  for g, v in _group_ravel(updates).items()}
+        p_vecs = _group_ravel(params)
+        # overflow-safe global-norm clip over the group vectors
+        gmax = jnp.maximum(
+            jnp.asarray(1e-30, jnp.float32),
+            jnp.max(jnp.stack([
+                jnp.max(jnp.abs(v)) if v.size else jnp.zeros(())
+                for v in g_vecs.values()
+            ])),
+        )
+        ssq = sum(jnp.sum((v / gmax) ** 2) for v in g_vecs.values())
+        norm = gmax * jnp.sqrt(ssq)
+        scale = jnp.minimum(1.0, clip_max_norm / jnp.maximum(norm, 1e-30))
+
+        count = state["count"] + 1
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** cf
+        bc2 = 1.0 - b2 ** cf
+        new_m, new_v, out_vecs = {}, {}, {}
+        for g in group_names:
+            gv = g_vecs[g] * scale
+            m = b1 * state["m"][g] + (1.0 - b1) * gv
+            v = b2 * state["v"][g] + (1.0 - b2) * gv * gv
+            step_lr = sched(state["count"], mults[g])
+            upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            upd = upd + weight_decay * p_vecs[g].astype(jnp.float32)
+            out_vecs[g] = -step_lr * upd
+            new_m[g] = m
+            new_v[g] = v
+        return (
+            _group_unravel(out_vecs, params),
+            {"count": count, "m": new_m, "v": new_v},
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_lr_schedule(args, steps_per_epoch: int):

@@ -301,6 +301,48 @@ def export_groundingdino_checkpoint(params: Dict) -> Dict[str, np.ndarray]:
     return sd
 
 
+_ENC_SCAN_BASES = ("fusion", "text_layer", "enc_layer")
+
+
+def stack_encoder_scan_params(transformer_params: Dict, n_layers: int) -> Dict:
+    """Per-layer encoder params (fusion_{i} / text_layer_{i} / enc_layer_{i})
+    -> the ENC_SCAN=1 stacked layout (one 'enc_scan' subtree whose leaves
+    carry a leading n_layers axis).  Inverse: unstack_encoder_scan_params."""
+    out = {
+        k: v for k, v in transformer_params.items()
+        if not any(
+            k.startswith(f"{b}_") and k[len(b) + 1:].isdigit()
+            for b in _ENC_SCAN_BASES
+        )
+    }
+    scan: Dict = {}
+    for base in _ENC_SCAN_BASES:
+        per = [
+            transformer_params.get(f"{base}_{i}") for i in range(n_layers)
+        ]
+        if per[0] is None:
+            continue
+        scan[base] = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *per
+        )
+    out["enc_scan"] = scan
+    return out
+
+
+def unstack_encoder_scan_params(transformer_params: Dict) -> Dict:
+    """ENC_SCAN stacked layout -> per-layer fusion_{i}/text_layer_{i}/
+    enc_layer_{i} subtrees (the converter/exporter layout)."""
+    out = {k: v for k, v in transformer_params.items() if k != "enc_scan"}
+    scan = transformer_params.get("enc_scan", {})
+    for base, tree in scan.items():
+        n = jax.tree_util.tree_leaves(tree)[0].shape[0]
+        for i in range(n):
+            out[f"{base}_{i}"] = jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[i], tree
+            )
+    return out
+
+
 def save_torch_checkpoint(path: str, params: Dict, **meta) -> None:
     """Write params as a reference-compatible torch .pth:
     {"model": state_dict, **meta} — the container format the reference's

@@ -58,3 +58,57 @@ def test_schedule_without_base_lr_raises():
     with pytest.raises(ValueError):
         make_optimizer(_tiny_params(), lr=optax.constant_schedule(1e-4),
                        lr_backbone=1e-5)
+
+
+def test_flat_adamw_matches_optax_chain(monkeypatch):
+    """OPT_FLAT=1 (one concatenated AdamW buffer per param group) must
+    reproduce the optax multi_transform chain's updates: same clip, same
+    per-group lr multipliers, same decoupled weight decay, over several
+    steps including a frozen group and a schedule."""
+    rng = np.random.RandomState(3)
+    params = {
+        "backbone": {"w": jnp.asarray(rng.randn(5, 3), jnp.float32)},
+        "bert": {"e": jnp.asarray(rng.randn(7), jnp.float32)},
+        "transformer": {
+            "ref_point_head": {"k": jnp.asarray(rng.randn(4, 2), jnp.float32)},
+            "dec": {"k": jnp.asarray(rng.randn(6), jnp.float32)},
+        },
+        "head": {"w": jnp.asarray(rng.randn(2, 2), jnp.float32)},
+    }
+    sched = optax.piecewise_constant_schedule(1e-3, {2: 0.1})
+    kw = dict(lr=sched, base_lr=1e-3, lr_backbone=1e-4,
+              lr_linear_proj_mult=0.1, weight_decay=1e-4,
+              clip_max_norm=0.05, frozen_keys=("head",))
+
+    monkeypatch.setenv("OPT_FLAT", "0")
+    tx_ref = make_optimizer(params, **kw)
+    monkeypatch.setenv("OPT_FLAT", "1")
+    tx_flat = make_optimizer(params, **kw)
+
+    s_ref = tx_ref.init(params)
+    s_flat = tx_flat.init(params)
+    p_ref = params
+    p_flat = params
+    for step in range(4):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                np.random.RandomState(10 + step).randn(*p.shape), jnp.float32
+            ) * (1.0 + step),
+            params,
+        )
+        u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        u_flat, s_flat = tx_flat.update(grads, s_flat, p_flat)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_flat = optax.apply_updates(p_flat, u_flat)
+        for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p_ref)[0],
+            jax.tree_util.tree_flatten_with_path(p_flat)[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=3e-6,
+                err_msg=f"step {step} {jax.tree_util.keystr(kp)}",
+            )
+    # frozen group must not move
+    np.testing.assert_array_equal(
+        np.asarray(p_flat["head"]["w"]), np.asarray(params["head"]["w"])
+    )

@@ -21,6 +21,10 @@
 set -u
 R="${1:-/tmp/ab_results.log}"
 cd "$(dirname "$0")/.."
+# rotate any prior results file: a stale "ALL DONE" marker from an earlier
+# session would green-light a chained phase-2 immediately and run TWO
+# concurrent TPU processes (ADVICE r3)
+if [ -s "$R" ]; then mv "$R" "$R.prev.$(date +%s)"; fi
 
 run() {
   local label="$1"; shift
