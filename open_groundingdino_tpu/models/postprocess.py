@@ -120,13 +120,23 @@ class PostProcess:
         self.emits_coco_ids = coco_id_remap
 
     def device(self, outputs: Dict, target_sizes: np.ndarray):
-        """Device half: projection + top-k + box scaling as async jax ops —
-        returns DEVICE arrays (no host sync), so eval loops can dispatch
-        the next batch's forward before fetching these."""
-        return postprocess(
+        """Device half: projection + top-k + box scaling as ONE jitted
+        dispatch — returns DEVICE arrays (no host sync), so eval loops can
+        dispatch the next batch's forward before fetching these.  Eager
+        per-op dispatch here measured ~0.4 s/batch of pure tunnel RTT
+        (eval_pipeline_bench 2026-08-20: 10+ op round-trips + a pos_map
+        re-upload per batch); the jit + cached device pos_map collapse it
+        to one."""
+        if not hasattr(self, "_device_fn"):
+            import functools
+
+            self._pos_map_dev = jnp.asarray(self.pos_map)
+            self._device_fn = jax.jit(
+                functools.partial(postprocess, num_select=self.num_select)
+            )
+        return self._device_fn(
             outputs["pred_logits"], outputs["pred_boxes"],
-            jnp.asarray(self.pos_map), jnp.asarray(target_sizes),
-            self.num_select,
+            self._pos_map_dev, jnp.asarray(target_sizes),
         )
 
     def host(self, dev_results) -> List[Dict]:

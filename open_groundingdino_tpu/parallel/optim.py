@@ -169,20 +169,32 @@ def _flat_grouped_adamw(labels, mults, lr, weight_decay, clip_max_norm,
     lbl_leaves = jax.tree_util.tree_leaves(labels)
     group_names = sorted({l for l in lbl_leaves if l != "frozen"})
 
+    # flat buffers are 2-D (rows, LANE) rather than 1-D: XLA tiled a
+    # 136M-element 1-D concat intermediate as f32[...,3]{T(8,128)} and
+    # tried to allocate 23 GB (opt-microbench 2026-08-20 OOM); (rows,
+    # 1024) tiles cleanly.  Zero padding is exact: grad/param pads are 0,
+    # so m/v/update pads stay 0 and the clip norm is unchanged.
+    LANE = 1024
+
     def _group_ravel(tree):
-        """leaves grouped by label, each group concatenated to a vec."""
+        """leaves grouped by label, each group one zero-padded 2-D buffer."""
         leaves = jax.tree_util.tree_leaves(tree)
         out = {}
         for g in group_names:
             sel = [l for l, lab in zip(leaves, lbl_leaves) if lab == g]
-            out[g] = (
-                jnp.concatenate([jnp.ravel(x) for x in sel])
-                if sel else jnp.zeros((0,), jnp.float32)
-            )
+            if not sel:
+                out[g] = jnp.zeros((0, LANE), jnp.float32)
+                continue
+            vec = jnp.concatenate([jnp.ravel(x) for x in sel])
+            pad = (-vec.size) % LANE
+            if pad:
+                vec = jnp.pad(vec, (0, pad))
+            out[g] = vec.reshape(-1, LANE)
         return out
 
     def _group_unravel(vecs, template):
         leaves = jax.tree_util.tree_leaves(template)
+        flat = {g: v.reshape(-1) for g, v in vecs.items()}
         offs = {g: 0 for g in group_names}
         new = []
         for l, lab in zip(leaves, lbl_leaves):
@@ -190,7 +202,7 @@ def _flat_grouped_adamw(labels, mults, lr, weight_decay, clip_max_norm,
                 new.append(jnp.zeros_like(l))
                 continue
             n = l.size
-            seg = vecs[lab][offs[lab]: offs[lab] + n]
+            seg = flat[lab][offs[lab]: offs[lab] + n]
             offs[lab] += n
             new.append(seg.reshape(l.shape).astype(l.dtype))
         return jax.tree_util.tree_unflatten(

@@ -18,7 +18,18 @@ WAIT="${2:-}"
 cd "$(dirname "$0")/.."
 
 if [ -n "$WAIT" ]; then
-  while ! grep -q "ALL DONE" "$WAIT" 2>/dev/null; do sleep 60; done
+  # bounded wait (ADVICE r3): a phase-1 killed before writing its marker
+  # (tunnel drop) must not park this queue forever — bail after 4h and
+  # log; ab_bench.sh also rotates stale results files so an old marker
+  # can't green-light an overlapping run
+  START=$(date +%s)
+  while ! grep -q "ALL DONE" "$WAIT" 2>/dev/null; do
+    if [ $(( $(date +%s) - START )) -gt 14400 ]; then
+      echo "phase2: phase-1 marker never appeared after 4h; proceeding" >> "$R"
+      break
+    fi
+    sleep 60
+  done
 fi
 
 run() {

@@ -27,3 +27,27 @@ run() {
 run "opt-microbench-OPT_FLAT" env OPT_FLAT=1 python tools/opt_microbench.py --profile /tmp/trace_opt_flat
 run "train-OPT_FLAT" env OPT_FLAT=1 python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py --train --batch 4 --compute_dtype bfloat16
 echo "PHASE5 DONE @ $(date +%H:%M:%S)" >> "$R"
+
+# Final: re-seed /tmp/jax_cache with the HEAD-default fwd program for the
+# driver's end-of-round bench.py (the injective-take rework may have
+# changed the traced fwd program; CLAUDE.md cache-seeding rule).  Also the
+# round-4 post-queue baseline record.
+run "fwd-baseline-reseed" python bench.py
+echo "PHASE5B DONE @ $(date +%H:%M:%S)" >> "$R"
+
+# clean same-session fwd A/B: default (just re-seeded above) vs the scan
+# program (cached at 12:41) back to back
+run "fwd-ENC_SCAN-cached" env ENC_SCAN=1 python bench.py
+echo "PHASE5C DONE @ $(date +%H:%M:%S)" >> "$R"
+
+# re-measure the eval pipeline with the JITTED PostProcess.device (single
+# dispatch vs ~10 eager op RTTs per batch) — same protocol as the 12:44
+# run (ratio 0.058; steady-state 0.49 s/it was mostly postprocess RTT)
+run "eval-pipeline-jitpost" python tools/eval_pipeline_bench.py --images 32 --batch 1
+echo "PHASE5D DONE @ $(date +%H:%M:%S)" >> "$R"
+
+# OPT_FLAT retry with 2-D (rows,1024) flat buffers (the 1-D concat OOMed
+# in a pathological T(8,128) layout of a f32[N,3] intermediate — fixed)
+run "opt-microbench-OPT_FLAT-2d" env OPT_FLAT=1 python tools/opt_microbench.py --profile /tmp/trace_opt_flat2
+run "train-OPT_FLAT-2d" env OPT_FLAT=1 python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py --train --batch 4 --compute_dtype bfloat16
+echo "PHASE5E DONE @ $(date +%H:%M:%S)" >> "$R"
