@@ -131,9 +131,20 @@ class PostProcess:
             import functools
 
             self._pos_map_dev = jnp.asarray(self.pos_map)
-            self._device_fn = jax.jit(
-                functools.partial(postprocess, num_select=self.num_select)
-            )
+
+            def packed(logits, boxes, pm, sizes):
+                s, l, b = postprocess(
+                    logits, boxes, pm, sizes, num_select=self.num_select
+                )
+                # pack (scores, labels, boxes) into ONE (B, K, 6) array so
+                # the host half pays a single device->host fetch (three
+                # separate np.asarray fetches measured ~2 extra tunnel
+                # RTTs per eval batch)
+                return jnp.concatenate(
+                    [s[..., None], l[..., None].astype(s.dtype), b], axis=-1
+                )
+
+            self._device_fn = jax.jit(packed)
         return self._device_fn(
             outputs["pred_logits"], outputs["pred_boxes"],
             self._pos_map_dev, jnp.asarray(target_sizes),
@@ -142,7 +153,13 @@ class PostProcess:
     def host(self, dev_results) -> List[Dict]:
         """Host half: fetch + optional NMS + per-image listify.  The
         np.asarray here is the only device->host sync of the eval loop."""
-        scores, labels, boxes = map(np.asarray, dev_results)
+        if not isinstance(dev_results, tuple):  # packed (B, K, 6) form
+            packed = np.asarray(dev_results)
+            scores = packed[..., 0]
+            labels = packed[..., 1].astype(np.int32)
+            boxes = packed[..., 2:6]
+        else:
+            scores, labels, boxes = map(np.asarray, dev_results)
         results = []
         for s, l, b in zip(scores, labels, boxes):
             if self.nms_iou_threshold > 0:

@@ -245,8 +245,17 @@ def _flat_grouped_adamw(labels, mults, lr, weight_decay, clip_max_norm,
         new_m, new_v, out_vecs = {}, {}, {}
         for g in group_names:
             gv = g_vecs[g] * scale
+            # optimization_barriers serialize the m / v / update chains:
+            # without them XLA horizontally fuses the three same-shape
+            # elementwise loops into ONE interleaved f32[N,3] intermediate
+            # and tiles it T(8,128) — 3 lanes padded to 128, a 23 GB
+            # allocation at flagship params (measured OOM 2026-08-20).
+            # Three separate (rows, 1024) passes cost ~3x180 MB of HBM
+            # traffic instead.
             m = b1 * state["m"][g] + (1.0 - b1) * gv
+            m, gv = jax.lax.optimization_barrier((m, gv))
             v = b2 * state["v"][g] + (1.0 - b2) * gv * gv
+            v, m = jax.lax.optimization_barrier((v, m))
             step_lr = sched(state["count"], mults[g])
             upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
             upd = upd + weight_decay * p_vecs[g].astype(jnp.float32)

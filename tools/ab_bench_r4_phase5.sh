@@ -51,3 +51,14 @@ echo "PHASE5D DONE @ $(date +%H:%M:%S)" >> "$R"
 run "opt-microbench-OPT_FLAT-2d" env OPT_FLAT=1 python tools/opt_microbench.py --profile /tmp/trace_opt_flat2
 run "train-OPT_FLAT-2d" env OPT_FLAT=1 python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py --train --batch 4 --compute_dtype bfloat16
 echo "PHASE5E DONE @ $(date +%H:%M:%S)" >> "$R"
+
+# OPT_FLAT retry 2: optimization_barriers between the m/v/update chains
+# (XLA horizontally fused them into a f32[N,3] T(8,128) 23 GB intermediate)
+run "opt-microbench-OPT_FLAT-bar" env OPT_FLAT=1 python tools/opt_microbench.py --profile /tmp/trace_opt_flat3
+run "eval-pipeline-packed" python tools/eval_pipeline_bench.py --images 32 --batch 1
+echo "PHASE5F DONE @ $(date +%H:%M:%S)" >> "$R"
+
+# eval pipeline at B=4: amortizes the per-batch tunnel costs (input
+# upload + dispatch/fetch RTTs) over 4 images — the engine's real batch
+run "eval-pipeline-b4" python tools/eval_pipeline_bench.py --images 32 --batch 4
+echo "PHASE5G DONE @ $(date +%H:%M:%S)" >> "$R"
