@@ -158,7 +158,8 @@ def main(cli):
         manifest = json.load(f)
 
     collator = Collator(
-        tokenizer, args.image_buckets, args.max_text_len, args.max_gt_boxes
+        tokenizer, args.image_buckets, args.max_text_len, args.max_gt_boxes,
+        u8_images=bool(getattr(args, "u8_images", False)),
     )
     mesh = make_mesh()
     max_steps = 15 if cli.debug else None

@@ -109,6 +109,12 @@ eval_shortest_edge = 800
 eval_max_size = 1333
 max_gt_boxes = 128          # static per-image GT padding for the criterion
 compute_dtype = "bfloat16"  # activations; params/optimizer always fp32
+u8_images = True             # ship uint8 pixels, normalize on device: 4x
+                             # less host->device input bandwidth, measured
+                             # +66% e2e eval-pipeline img/s on chip
+                             # (2.25 vs 1.35, BENCH_NOTES 2026-08-20);
+                             # exact vs the f32 path (pad re-zeroed) —
+                             # tests/test_data_pipeline.py
 use_ema = False             # reference cfg use_ema (util/utils.py ModelEma)
 ema_decay = 0.9997
 ema_epoch = 0

@@ -34,16 +34,30 @@ class Collator:
         buckets: Sequence,
         max_text_len: int = 256,
         max_gt: int = 128,
+        u8_images: bool = False,
     ):
         self.tokenizer = tokenizer
         self.bucketer = Bucketer(buckets)
         self.max_text_len = max_text_len
         self.max_gt = max_gt
         self.special_ids = tokenizer.special_token_ids()
+        # u8_images: ship RAW uint8 pixels (3 B/px instead of 12) and
+        # normalize + zero-pad ON DEVICE (train_state._maybe_device_
+        # normalize) — quarters host->device input bandwidth, the measured
+        # eval-pipeline bottleneck (BENCH_NOTES 2026-08-20).  Exact: PIL
+        # images are u8 already; the device does the identical
+        # (x/255 - mean)/std in f32 and re-zeros the pad region.
+        self.u8_images = u8_images
 
     def __call__(self, samples: List[Sample]) -> Dict[str, np.ndarray]:
         B = len(samples)
-        images = [normalize_image(s.image) for s in samples]
+        if self.u8_images:
+            images = [
+                np.asarray(s.image.convert("RGB"), np.uint8)
+                for s in samples
+            ]
+        else:
+            images = [normalize_image(s.image) for s in samples]
         batch_images, image_sizes = self.bucketer.pad_batch(images)
 
         captions = [s.caption for s in samples]

@@ -199,7 +199,7 @@ class Bucketer:
         hs = [im.shape[0] for im in images]
         ws = [im.shape[1] for im in images]
         bh, bw = self.bucket_for(max(hs), max(ws))
-        out = np.zeros((len(images), bh, bw, 3), np.float32)
+        out = np.zeros((len(images), bh, bw, 3), images[0].dtype)
         sizes = np.zeros((len(images), 2), np.int32)
         for i, im in enumerate(images):
             h, w = im.shape[:2]

@@ -80,6 +80,11 @@ def make_train_step(model, criterion, compute_dtype=None,
 
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         model_inputs = {k: batch[k] for k in MODEL_INPUT_KEYS}
+        model_inputs = dict(
+            model_inputs,
+            images=_maybe_device_normalize(model_inputs["images"],
+                                           model_inputs["image_sizes"]),
+        )
         dropout_rng = jax.random.fold_in(
             jax.random.PRNGKey(dropout_seed), state.step
         )
@@ -171,9 +176,36 @@ def make_multi_train_step(model, criterion, n_steps: int, **step_kwargs
     return multi_step
 
 
+def _maybe_device_normalize(images, image_sizes):
+    """uint8 batches normalize ON DEVICE (ImageNet mean/std — identical
+    math to data/transforms.normalize_image): the Collator's u8_images
+    mode ships 3 bytes/pixel instead of 12, quartering the host->device
+    input bandwidth of the eval pipeline (the measured bottleneck on
+    bandwidth-constrained hosts — BENCH_NOTES 2026-08-20; the reference
+    uploads normalized f32 from its dataloader).  The pad region is
+    re-zeroed AFTER normalization so the result matches the f32 path
+    exactly (which pads with 0 in normalized space, like the reference's
+    NestedTensor).  Trace-time dtype dispatch: f32 batches pass through."""
+    if images.dtype != jnp.uint8:
+        return images
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    x = images.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    B, H, W, _ = x.shape
+    rows = jnp.arange(H)[None, :, None, None] < image_sizes[:, 0, None, None, None]
+    cols = jnp.arange(W)[None, None, :, None] < image_sizes[:, 1, None, None, None]
+    return jnp.where(rows & cols, x, 0.0)
+
+
 def make_eval_step(model, criterion=None, compute_dtype=None) -> Callable:
     def eval_step(params, batch):
         model_inputs = {k: batch[k] for k in MODEL_INPUT_KEYS}
+        model_inputs = dict(
+            model_inputs,
+            images=_maybe_device_normalize(model_inputs["images"],
+                                           model_inputs["image_sizes"]),
+        )
         if compute_dtype is not None:
             params = cast_floating(params, compute_dtype)
             model_inputs = dict(

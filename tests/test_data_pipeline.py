@@ -246,3 +246,43 @@ def test_seeded_aug_reproducible_across_thread_counts(data_dir):
             np.testing.assert_array_equal(x["images"], y["images"])
             np.testing.assert_array_equal(x["input_ids"], y["input_ids"])
             np.testing.assert_array_equal(x["gt_boxes"], y["gt_boxes"])
+
+
+def test_u8_collator_device_normalize_exact():
+    """Collator(u8_images=True) + the device-side normalize must reproduce
+    the f32 collator's images EXACTLY (same (x/255 - mean)/std in f32,
+    pad region re-zeroed) — so the u8 input path (4x less host->device
+    bandwidth) is a pure transport change."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from open_groundingdino_tpu.data.loader import Collator
+    from open_groundingdino_tpu.data.tokenization import BertWordPieceTokenizer
+    from open_groundingdino_tpu.data.transforms import Sample
+    from open_groundingdino_tpu.parallel.train_state import (
+        _maybe_device_normalize,
+    )
+
+    vocab = {t: i for i, t in enumerate(
+        "[PAD] [UNK] [CLS] [SEP] [MASK] . dog cat".split())}
+    tok = BertWordPieceTokenizer(vocab)
+    rng = np.random.RandomState(7)
+    samples = []
+    for i, (h, w) in enumerate([(40, 60), (64, 90)]):
+        img = Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8))
+        samples.append(Sample(
+            image=img, boxes=np.asarray([[5.0, 5.0, 20.0, 20.0]], np.float32),
+            labels=np.asarray([0]), image_id=i, orig_size=(h, w),
+            caption="dog . cat .", cap_list=["dog", "cat"],
+        ))
+
+    kw = dict(max_text_len=16, max_gt=4)
+    b_f32 = Collator(tok, [(64, 96)], **kw)(samples)
+    b_u8 = Collator(tok, [(64, 96)], u8_images=True, **kw)(samples)
+    assert b_u8["images"].dtype == np.uint8
+    got = np.asarray(_maybe_device_normalize(
+        jnp.asarray(b_u8["images"]), jnp.asarray(b_u8["image_sizes"])
+    ))
+    np.testing.assert_allclose(got, b_f32["images"], rtol=0, atol=1e-6)
+    # pad region exactly zero (reference NestedTensor pads post-normalize)
+    assert np.all(got[0, 40:, :, :] == 0) and np.all(got[0, :, 60:, :] == 0)

@@ -107,6 +107,9 @@ def main():
                     help="nano model + tiny images (CPU smoke)")
     ap.add_argument("--workspace", default=None)
     ap.add_argument("--fwd_iters", type=int, default=10)
+    ap.add_argument("--u8", action="store_true",
+                    help="ship uint8 images, normalize on device (3 B/px "
+                         "host->device instead of 12)")
     args_cli = ap.parse_args()
 
     import jax
@@ -156,6 +159,7 @@ def main():
     collator = Collator(
         tokenizer, args.image_buckets, max_text_len=args.max_text_len,
         max_gt=int(getattr(args, "max_gt_boxes", 128)),
+        u8_images=args_cli.u8,
     )
     model = build_groundingdino(args)
     mesh = make_mesh(jax.devices()[:1])
@@ -168,6 +172,10 @@ def main():
         for k in ("images", "image_sizes", "input_ids", "text_token_mask",
                   "position_ids", "text_self_attention_masks")
     }
+    if init_inputs["images"].dtype == np.uint8:  # u8 mode: init on floats
+        init_inputs = dict(
+            init_inputs, images=init_inputs["images"].astype(np.float32)
+        )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), **init_inputs)["params"]
     params = replicate_tree(params, mesh)
 
