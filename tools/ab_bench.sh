@@ -12,12 +12,11 @@
 #   3. record wins by flipping the default + a BENCH_NOTES trail row,
 #      losses as dead-end rows — either way the number lands in the notes.
 #
-# As of 2026-08-19 (evening) every queued candidate has been measured
-# (QB256/band sweep, MSDA_BAND_BWD, BENCH_SCAN, B-sweep, and the three
-# scatter-family kills HUNGARIAN_MASKED / FUSION_RV_SLICES /
-# ENC_TAKE_GATHER — all flipped ON: see BENCH_NOTES round-3 trail); the
-# template below re-baselines and captures fresh profiles — add new
-# one-gate runs after the baseline rows.
+# Round-5 queue (written at round-4 end): the XLA-flag probes lost 4x to
+# the oscillating tunnel on 2026-08-20 — they are the first unmeasured
+# candidates; then fresh re-baselines at the round-4 defaults
+# (HUNGARIAN_RR=1, u8_images=1).  fwd/train/entry programs are cache-
+# seeded at these defaults (re-seed after ANY model-code change).
 set -u
 R="${1:-/tmp/ab_results.log}"
 cd "$(dirname "$0")/.."
@@ -38,12 +37,8 @@ TRAIN=(python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py
 
 run "fwd-baseline-HEAD"      python bench.py
 run "train-baseline"         "${TRAIN[@]}"
-# >>> one-gate candidate runs (2026-08-20 queue):
-# JV row-reduction pre-pass for the device Hungarian (targets the
-# 15.7 ms while-loop bucket; program change -> fresh train compile)
-run "train-HUNGARIAN_RR"     env HUNGARIAN_RR=1 "${TRAIN[@]}"
-# XLA flag probes, fwd only (fresh ~5 min compile each; failures are
-# informational — unknown flags abort that run only)
+# >>> unmeasured candidates (first on a healthy tunnel; failures are
+# informational — a bad flag aborts that run only):
 run "fwd-xla-vmem64m"        env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
 run "fwd-xla-no-lhs"         env XLA_FLAGS=--xla_tpu_enable_latency_hiding_scheduler=false python bench.py
 
@@ -52,8 +47,7 @@ PROF=(python tools/profile.py -c open_groundingdino_tpu/config/cfg_coco.py)
 run "profile-fwd-HEAD"       "${PROF[@]}" --batch 1 --iters 10 -o /tmp/trace_fwd_head
 run "profile-train-HEAD"     "${PROF[@]}" -o /tmp/trace_train_head --train
 
-# Informational breadth datapoints (other model families, same kernels):
-run "fwd-swinb-info"    python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_swinb.py --batch 4 --compute_dtype bfloat16
-run "fwd-swinl-info"    python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_swinl.py --batch 4 --compute_dtype bfloat16
-run "fwd-resnet50-info" python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_resnet50.py --batch 4 --compute_dtype bfloat16
+# Deployment + pipeline surfaces at current defaults:
+run "eval-pipeline-u8"  python tools/eval_pipeline_bench.py --images 32 --batch 1 --u8
+run "serving-latency"   python tools/serving_bench.py
 echo "ALL DONE @ $(date +%H:%M:%S)" >> "$R"
