@@ -214,7 +214,11 @@ def main(cli):
         params = jax.jit(model.init)(jax.random.PRNGKey(cli.seed), **init_inputs)["params"]
         if pretrain_path:
             restored = ckpt_utils.restore_checkpoint(pretrain_path)
-            params = restored.get("params", restored)
+            # adapt between per-layer and ENC_SCAN stacked encoder layouts
+            # so orbax pretrains compose with the scan gate (ADVICE r4)
+            params = ckpt_utils.adapt_encoder_layout(
+                restored.get("params", restored)
+            )
 
     # ---- eval-only ----------------------------------------------------------
     cat_list = getattr(val_dataset, "cat_list", None) or args.label_list
@@ -282,22 +286,40 @@ def main(cli):
     start_epoch = 0
     resume_path = cli.resume or ckpt_utils.latest_checkpoint(cli.output_dir)
     if resume_path:
+        cur = jax.device_get(state)
         try:
             restored = ckpt_utils.restore_checkpoint(
-                resume_path, {"state": jax.device_get(state), "epoch": 0}
+                resume_path, {"state": cur, "epoch": 0}
             )
             state = restored["state"]
         except Exception:
-            # checkpoints written before TrainState grew nonfinite_count
-            # lack that leaf; restore against the legacy structure and
-            # reinitialize the counter
-            legacy = jax.device_get(state).replace(nonfinite_count=None)
-            restored = ckpt_utils.restore_checkpoint(
-                resume_path, {"state": legacy, "epoch": 0}
-            )
-            state = restored["state"].replace(
-                nonfinite_count=jnp.zeros((), jnp.int32)
-            )
+            try:
+                # checkpoints written before TrainState grew nonfinite_count
+                # lack that leaf; restore against the legacy structure and
+                # reinitialize the counter
+                legacy = cur.replace(nonfinite_count=None)
+                restored = ckpt_utils.restore_checkpoint(
+                    resume_path, {"state": legacy, "epoch": 0}
+                )
+                state = restored["state"].replace(
+                    nonfinite_count=jnp.zeros((), jnp.int32)
+                )
+            except Exception:
+                # checkpoint written in the other encoder param layout
+                # (ENC_SCAN gate flipped between runs, ADVICE r4): restore
+                # against the opposite-layout template, adapt back
+                cur_scan = os.environ.get("ENC_SCAN", "0") == "1"
+                other = ckpt_utils.adapt_train_state_layout(
+                    cur, enc_scan=not cur_scan
+                )
+                restored = ckpt_utils.restore_checkpoint(
+                    resume_path, {"state": other, "epoch": 0}
+                )
+                state = ckpt_utils.adapt_train_state_layout(
+                    restored["state"], enc_scan=cur_scan
+                )
+                logger.info("resume: adapted encoder param layout "
+                            f"(ENC_SCAN={int(cur_scan)})")
         start_epoch = int(restored["epoch"]) + 1
         logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
 

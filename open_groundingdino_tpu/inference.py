@@ -101,7 +101,9 @@ def load_model(
             )
         else:
             params = restore_checkpoint(checkpoint_path)
-            params = params.get("params", params)
+            from .utils.checkpoint import adapt_encoder_layout
+
+            params = adapt_encoder_layout(params.get("params", params))
     if params is None:
         raise ValueError("checkpoint_path required for inference")
 

@@ -603,6 +603,12 @@ class Transformer(nn.Module):
         if bool(int(_os.environ.get("ENC_SCAN", "0"))):
             block_cls = _EncoderScanBlock
             if self.use_checkpoint or self.use_transformer_ckpt:
+                # NOTE (ADVICE r4): scan mode remats the ENTIRE scan block
+                # (fusion + text enhancer + deformable layer) when EITHER
+                # flag is set, while the eager loop below remats fusion
+                # only under use_checkpoint and the deformable layer only
+                # under use_transformer_ckpt (never the text enhancer).
+                # Coarser memory/recompute granularity, identical numerics.
                 block_cls = nn.remat(
                     block_cls, policy=_policy,
                     static_argnums=(),

@@ -690,8 +690,21 @@ def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
         ],
         out_specs=val_specs + [tap_spec(), tap_spec(), tap_spec()],
     )
+    # MSDA_BWD_GV_BF16=1 (candidate, default OFF pending on-chip A/B +
+    # loss-curve check — VERDICT r4 item 7): accumulate the grad_value
+    # buffers in bf16 when values are bf16.  Halves the gv RMW bytes and
+    # runs the B@sx dot single-pass; numerics risk is the bf16 += across
+    # the revisited qb grid steps (the e2e path casts gv to value dtype
+    # afterwards either way, _banded_bwd_native).
+    gv_bf16 = (
+        bool(int(os.environ.get("MSDA_BWD_GV_BF16", "0")))
+        and values[0].dtype == jnp.bfloat16
+    )
     out_shape = [
-        jax.ShapeDtypeStruct(((BH,) + v.shape[1:]), jnp.float32)
+        jax.ShapeDtypeStruct(
+            ((BH,) + v.shape[1:]),
+            jnp.bfloat16 if gv_bf16 else jnp.float32,
+        )
         for v in values
     ] + [
         jax.ShapeDtypeStruct((BH, NP, Q_pad), jnp.float32)

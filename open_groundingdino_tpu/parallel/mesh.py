@@ -32,13 +32,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """device_put every array on the data axis (first dim)."""
+    """device_put every array on the data axis (first dim).  Values that
+    are already device-resident jax Arrays skip the host round-trip
+    (device_put with an identical sharding is a no-op) — this is what
+    makes pre-uploaded batches (eval_pipeline_bench --device_resident)
+    free to re-shard."""
     sh = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
         if k in ("image_ids", "orig_sizes", "label_maps", "n_real"):
             continue  # host-side metadata
-        out[k] = jax.device_put(np.asarray(v), sh)
+        out[k] = jax.device_put(
+            v if isinstance(v, jax.Array) else np.asarray(v), sh
+        )
     return out
 
 

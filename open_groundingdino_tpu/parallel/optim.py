@@ -226,7 +226,13 @@ def _flat_grouped_adamw(labels, mults, lr, weight_decay, clip_max_norm,
         g_vecs = {g: v.astype(jnp.float32)
                   for g, v in _group_ravel(updates).items()}
         p_vecs = _group_ravel(params)
-        # overflow-safe global-norm clip over the group vectors
+        # overflow-safe global-norm clip over the group vectors.
+        # KNOWN DEVIATION (ADVICE r4, gate default-off): the norm here runs
+        # over NON-FROZEN groups only, while the default optax chain clips
+        # over ALL leaves (safe_clip_by_global_norm runs before
+        # multi_transform zeroes 'frozen' grads) — with nonzero
+        # frozen-param grads the two paths clip differently, on top of the
+        # documented reassociation-only difference.
         gmax = jnp.maximum(
             jnp.asarray(1e-30, jnp.float32),
             jnp.max(jnp.stack([

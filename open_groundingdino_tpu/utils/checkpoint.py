@@ -78,10 +78,13 @@ def convert_groundingdino_checkpoint(
     enc_layers: int = 6,
     dec_layers: int = 6,
     bert_layers: int = 12,
+    enc_scan: Optional[bool] = None,
 ) -> Dict:
     """Map a published GroundingDINO state_dict (keys per reference
     groundingdino.py/transformer.py module names) onto this framework's
-    parameter tree."""
+    parameter tree.  The returned tree is in whatever encoder layout the
+    current process expects (adapt_encoder_layout reads the ENC_SCAN env
+    var), so loading a reference checkpoint composes with the scan gate."""
     from . import torch_convert as tc
 
     p: Dict = {}
@@ -191,7 +194,7 @@ def convert_groundingdino_checkpoint(
     t["enc_out_bbox_embed"] = mlp("transformer.enc_out_bbox_embed", 3)
 
     p["transformer"] = t
-    return p
+    return adapt_encoder_layout(p, enc_scan=enc_scan)
 
 
 def export_groundingdino_checkpoint(params: Dict) -> Dict[str, np.ndarray]:
@@ -207,9 +210,13 @@ def export_groundingdino_checkpoint(params: Dict) -> Dict[str, np.ndarray]:
     model registers (`bbox_embed.{i}` and `transformer.decoder.bbox_embed.{i}`
     for all layers — groundingdino.py:173-182 shares one MLP), so the
     export loads cleanly whichever alias downstream code indexes.  Layer
-    counts / depths / out_indices are derived from the tree itself."""
+    counts / depths / out_indices are derived from the tree itself.
+
+    Accepts either encoder param layout: an ENC_SCAN-trained tree (stacked
+    'enc_scan' subtree) is unstacked to per-layer form first (ADVICE r4)."""
     from . import torch_convert as tc
 
+    params = adapt_encoder_layout(params, enc_scan=False)
     sd: Dict[str, np.ndarray] = {}
 
     sd.update(tc.export_bert_state_dict(params["bert"], prefix="bert."))
@@ -343,6 +350,57 @@ def unstack_encoder_scan_params(transformer_params: Dict) -> Dict:
     return out
 
 
+def _adapt_tree(obj, to_scan: bool):
+    """Recursively adapt every transformer-shaped dict in a pytree between
+    the per-layer and ENC_SCAN stacked encoder layouts.  Works on params
+    trees and on optimizer-moment trees (which mirror the param structure
+    inside optax namedtuple states)."""
+    if isinstance(obj, dict):
+        keys = obj.keys()
+        enc_ids = [
+            int(k.split("_")[-1]) for k in keys
+            if k.startswith("enc_layer_") and k.split("_")[-1].isdigit()
+        ]
+        if to_scan and enc_ids:
+            return stack_encoder_scan_params(obj, 1 + max(enc_ids))
+        if not to_scan and "enc_scan" in keys:
+            return unstack_encoder_scan_params(obj)
+        return {k: _adapt_tree(v, to_scan) for k, v in obj.items()}
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):  # namedtuple
+        return type(obj)(*(_adapt_tree(v, to_scan) for v in obj))
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_adapt_tree(v, to_scan) for v in obj)
+    return obj
+
+
+def adapt_encoder_layout(tree, enc_scan: Optional[bool] = None):
+    """Adapt a params (or optimizer-state) pytree to the encoder param
+    layout the current process expects (ADVICE r4: the ENC_SCAN=1 gate,
+    models/transformer.py, uses a stacked 'enc_scan' subtree; checkpoints
+    and the torch converter use per-layer fusion_{i}/text_layer_{i}/
+    enc_layer_{i} subtrees).  enc_scan=None reads the ENC_SCAN env var —
+    the same switch the model reads — so load paths compose with the gate
+    automatically.  No-op when the tree is already in the target layout."""
+    if enc_scan is None:
+        enc_scan = os.environ.get("ENC_SCAN", "0") == "1"
+    return _adapt_tree(tree, bool(enc_scan))
+
+
+def adapt_train_state_layout(state, enc_scan: Optional[bool] = None):
+    """adapt_encoder_layout over every param-structured field of a
+    TrainState (params, ema_params, and the optimizer moment trees inside
+    opt_state all mirror the param structure), so resuming a checkpoint
+    written in the other encoder layout composes with the ENC_SCAN gate."""
+    return state.replace(
+        params=adapt_encoder_layout(state.params, enc_scan),
+        opt_state=adapt_encoder_layout(state.opt_state, enc_scan),
+        ema_params=(
+            adapt_encoder_layout(state.ema_params, enc_scan)
+            if state.ema_params is not None else None
+        ),
+    )
+
+
 def save_torch_checkpoint(path: str, params: Dict, **meta) -> None:
     """Write params as a reference-compatible torch .pth:
     {"model": state_dict, **meta} — the container format the reference's
@@ -381,15 +439,20 @@ def convert_with_ignore(
             else v)
         for k, v in sd.items()
     }
-    a = convert_groundingdino_checkpoint(sd, **convert_kwargs)
-    b = convert_groundingdino_checkpoint(marked, **convert_kwargs)
+    # diff at PER-LAYER granularity (enc_scan=False) so an ignored keyword
+    # inside one encoder layer doesn't mark the whole stacked leaf fresh;
+    # adapt to the process layout only after picking
+    a = convert_groundingdino_checkpoint(sd, enc_scan=False, **convert_kwargs)
+    b = convert_groundingdino_checkpoint(
+        marked, enc_scan=False, **convert_kwargs
+    )
+    fresh_params = adapt_encoder_layout(
+        jax.device_get(fresh_params), enc_scan=False
+    )
 
     def pick(fresh, va, vb):
         va = np.asarray(va)
         return va if np.array_equal(va, np.asarray(vb)) else np.asarray(fresh)
 
-    import jax
-
-    return jax.tree_util.tree_map(
-        pick, jax.device_get(fresh_params), a, b
-    )
+    picked = jax.tree_util.tree_map(pick, fresh_params, a, b)
+    return adapt_encoder_layout(picked)

@@ -279,3 +279,86 @@ def test_export_convert_identity(tmp_path):
     np.testing.assert_allclose(
         loaded["transformer.level_embed"], sd["transformer.level_embed"]
     )
+
+
+def test_converter_composes_with_enc_scan(monkeypatch):
+    """ADVICE r4 (medium): the torch converter and the exporter must
+    compose with the ENC_SCAN=1 stacked param layout — converting a
+    reference checkpoint inside an ENC_SCAN process yields the stacked
+    tree, and exporting an ENC_SCAN-trained tree auto-unstacks."""
+    from open_groundingdino_tpu.utils.checkpoint import (
+        adapt_encoder_layout,
+        stack_encoder_scan_params,
+    )
+
+    init = _init_params()  # per-layer layout (ENC_SCAN unset in conftest)
+    sd = export_groundingdino_checkpoint(jax.device_get(init))
+
+    monkeypatch.setenv("ENC_SCAN", "1")
+    converted = convert_groundingdino_checkpoint(
+        sd, swin_depths=SWIN.depths, out_indices=SWIN.out_indices,
+        num_feature_levels=4, enc_layers=2, dec_layers=2,
+        bert_layers=BERT.num_hidden_layers,
+    )
+    assert "enc_scan" in converted["transformer"]
+    assert "enc_layer_0" not in converted["transformer"]
+    # values match the explicit stack of the per-layer conversion
+    expect = stack_encoder_scan_params(jax.device_get(init)["transformer"], 2)
+    for kp, v in jax.tree_util.tree_flatten_with_path(
+        expect["enc_scan"]
+    )[0]:
+        got = converted["transformer"]["enc_scan"]
+        for k in kp:
+            got = got[k.key]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(v),
+                                   atol=1e-6, err_msg=str(kp))
+
+    # exporter accepts the stacked tree and emits the identical state_dict
+    sd_scan = export_groundingdino_checkpoint(converted)
+    assert set(sd_scan) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(sd_scan[k], sd[k], atol=1e-6, err_msg=k)
+
+    # adapt_encoder_layout is idempotent and env-driven
+    again = adapt_encoder_layout(converted)
+    assert "enc_scan" in again["transformer"]
+    monkeypatch.setenv("ENC_SCAN", "0")
+    back = adapt_encoder_layout(converted)
+    assert "enc_layer_0" in back["transformer"]
+
+
+def test_adapt_train_state_layout_roundtrip(monkeypatch):
+    """adapt_train_state_layout must adapt params AND the optimizer moment
+    trees (cross-layout resume, ADVICE r4) and round-trip exactly."""
+    import optax
+
+    from open_groundingdino_tpu.parallel.train_state import TrainState
+    from open_groundingdino_tpu.utils.checkpoint import (
+        adapt_train_state_layout,
+    )
+
+    monkeypatch.setenv("ENC_SCAN", "0")
+    init = _init_params()
+    tx = optax.adamw(1e-4)
+    state = jax.device_get(TrainState.create(init, tx))
+
+    scan_state = adapt_train_state_layout(state, enc_scan=True)
+    assert "enc_scan" in scan_state.params["transformer"]
+    mu = scan_state.opt_state[0].mu
+    assert "enc_scan" in mu["transformer"]
+
+    back = adapt_train_state_layout(scan_state, enc_scan=False)
+    for kp, v in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        got = back.params
+        for k in kp:
+            got = got[k.key]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(v),
+                                      err_msg=str(kp))
+    for kp, v in jax.tree_util.tree_flatten_with_path(
+        state.opt_state[0].nu
+    )[0]:
+        got = back.opt_state[0].nu
+        for k in kp:
+            got = got[k.key]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(v),
+                                      err_msg=str(kp))

@@ -46,6 +46,12 @@ MEASURED_DEFAULTS = {
     "HUNGARIAN_RR": "1",         # measured 0.4996 vs 0.5070 s/step
                                  # same-session (2026-08-20): JV
                                  # row-reduction pre-pass
+    "ENC_SCAN": "0",             # measured -3.0% train / -0.3% fwd
+                                 # (2026-08-20); kept as the documented
+                                 # fast-compile iteration mode only
+    "OPT_FLAT": "0",             # compile-INFEASIBLE on this XLA (23 GB
+                                 # T(8,128) relayout of the flat buffer,
+                                 # 2026-08-20); env-gated for a future XLA
 }
 
 GATE_RE = re.compile(r"environ\.get\(\s*\"([A-Z0-9_]+)\"\s*,\s*\"([^\"]*)\"")

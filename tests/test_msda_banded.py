@@ -106,6 +106,37 @@ def test_banded_grads_parity(bwd, bwd_band, monkeypatch):
         )
 
 
+def test_banded_bwd_gv_bf16_gate(monkeypatch):
+    """MSDA_BWD_GV_BF16=1 (candidate, default off — VERDICT r4 item 7):
+    bf16 grad_value accumulation must stay within bf16 rounding of the
+    f32-accumulated path on bf16 values, and leave grad_locs/grad_attn
+    (separate f32 outputs) bitwise unchanged."""
+    monkeypatch.setenv("MSDA_BANDED_BWD", "1")
+    v_t, locs, attn = _inputs(3)
+    values = tuple(v.astype(jnp.bfloat16) for v in _banded_values(v_t))
+
+    def grads(gate):
+        monkeypatch.setenv("MSDA_BWD_GV_BF16", gate)
+        return jax.jit(jax.grad(
+            lambda vs, l, a: jnp.sum(
+                jnp.sin(ms_deform_attn_banded(vs, SHAPES, l, a, NP)
+                        .astype(jnp.float32))
+            ),
+            argnums=(0, 1, 2),
+        ))(values, jnp.asarray(locs), jnp.asarray(attn))
+
+    g0 = grads("0")
+    g1 = grads("1")
+    for i in range(len(SHAPES)):
+        a, b = np.asarray(g0[0][i], np.float32), np.asarray(g1[0][i], np.float32)
+        assert a.dtype == b.dtype
+        np.testing.assert_allclose(b, a, rtol=3e-2, atol=3e-2,
+                                   err_msg=f"gv level {i}")
+    for i, name in ((1, "locs"), (2, "attn")):
+        np.testing.assert_array_equal(np.asarray(g0[i]), np.asarray(g1[i]),
+                                      err_msg=f"grad_{name}")
+
+
 def test_banded_module_matches_xla(monkeypatch):
     """Full MSDeformAttn with MSDA_BANDED=1 (projections + kernel + VJP +
     masks) vs impl='xla' — forward and all parameter grads."""

@@ -97,3 +97,117 @@ def test_positive_map(tok):
 
     maps = build_label_maps(t, [cats], [cap], max_text_len=32)
     np.testing.assert_array_equal(maps[0], pm)
+
+
+# ---------------------------------------------------------------------------
+# RoBERTa byte-level BPE (reference get_tokenlizer.py:22-29 roberta-base
+# path) — parity vs HuggingFace's RobertaTokenizerFast on shared local files
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = [
+    ("Ġ", "d"), ("Ġd", "o"), ("Ġdo", "g"),
+    ("Ġ", "c"), ("Ġc", "a"), ("Ġca", "t"),
+    ("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"),
+    ("Ġ", "."), ("1", "2"), ("12", "3"),
+    ("w", "o"), ("wo", "r"), ("wor", "l"), ("worl", "d"),
+    ("Ġ", "z"), ("e", "b"), ("r", "a"), ("eb", "ra"), ("Ġz", "ebra"),
+    ("Ġ", "h"), ("Ġh", "y"), ("Ġhy", "d"),
+]
+
+
+@pytest.fixture(scope="module")
+def bpe_files(tmp_path_factory):
+    import json
+
+    from open_groundingdino_tpu.data.tokenization import _bytes_to_unicode
+
+    d = tmp_path_factory.mktemp("bpe")
+    toks = (["<s>", "<pad>", "</s>", "<unk>", "<mask>"]
+            + list(_bytes_to_unicode().values())
+            + [a + b for a, b in BPE_MERGES])
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(toks))}
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in BPE_MERGES) + "\n"
+    )
+    return str(d / "vocab.json"), str(d / "merges.txt")
+
+
+CAPS = [
+    "dog . cat . zebra .",
+    "hello world's 123 hydrant?",
+    "cat  dog\nhello .",
+]
+
+
+def test_roberta_ids_match_hf_fast(bpe_files):
+    from transformers import RobertaTokenizerFast
+
+    from open_groundingdino_tpu.data.tokenization import RobertaBPETokenizer
+
+    vj, mt = bpe_files
+    ours = RobertaBPETokenizer(vj, mt)
+    hf = RobertaTokenizerFast(vocab_file=vj, merges_file=mt)
+    enc = ours(CAPS, padding="longest")
+    ref = hf(CAPS, padding="longest", return_tensors="np")
+    np.testing.assert_array_equal(enc.input_ids,
+                                  ref["input_ids"].astype(np.int32))
+    np.testing.assert_array_equal(enc.attention_mask,
+                                  ref["attention_mask"].astype(np.int32))
+
+
+def test_roberta_offsets_match_hf_fast(bpe_files):
+    from transformers import RobertaTokenizerFast
+
+    from open_groundingdino_tpu.data.tokenization import RobertaBPETokenizer
+
+    vj, mt = bpe_files
+    ours = RobertaBPETokenizer(vj, mt)
+    hf = RobertaTokenizerFast(vocab_file=vj, merges_file=mt)
+    for cap in CAPS:
+        enc = ours([cap])
+        ref = hf([cap], return_offsets_mapping=True)
+        for t, (a, b) in enumerate(ref["offset_mapping"][0]):
+            if a == b == 0:  # special token
+                assert enc.offsets[0][t] is None
+            else:
+                assert enc.offsets[0][t] == (a, b), (cap, t)
+
+
+def test_roberta_positive_map_flow(bpe_files):
+    """char_to_token + create_positive_map through the BPE offsets (the
+    grounding consumers of the tokenizer protocol)."""
+    from open_groundingdino_tpu.data.tokenization import RobertaBPETokenizer
+
+    vj, mt = bpe_files
+    tok = RobertaBPETokenizer(vj, mt)
+    cats = ["dog", "cat", "zebra"]
+    cap = build_caption(cats)  # "dog . cat . zebra ."
+    t = tok([cap], padding=16)
+    pm = create_positive_map(t, 0, [0, 1, 2], cats, cap, max_text_len=16)
+    assert pm.shape == (3, 16)
+    for row in range(3):
+        assert pm[row].sum() > 0
+        on = np.nonzero(pm[row])[0]
+        got = tok.decode(t.input_ids[0][on])
+        assert cats[row].replace(" ", "") in got.replace(" ", "")
+    # delimiter ids include the leading-space form
+    sids = tok.special_token_ids()
+    assert tok.vocab["Ġ."] in sids and tok.cls_token_id in sids
+
+
+def test_build_tokenizer_dispatch(bpe_files, vocab_file, tmp_path):
+    import shutil
+
+    from open_groundingdino_tpu.data.tokenization import (
+        RobertaBPETokenizer, build_tokenizer,
+    )
+
+    vj, mt = bpe_files
+    assert isinstance(build_tokenizer(vocab_file), BertWordPieceTokenizer)
+    assert isinstance(build_tokenizer(vj), RobertaBPETokenizer)
+    d = tmp_path / "hub"
+    d.mkdir()
+    shutil.copy(vj, d / "vocab.json")
+    shutil.copy(mt, d / "merges.txt")
+    assert isinstance(build_tokenizer(str(d)), RobertaBPETokenizer)

@@ -24,6 +24,11 @@ cd "$(dirname "$0")/.."
 # session would green-light a chained phase-2 immediately and run TWO
 # concurrent TPU processes (ADVICE r3)
 if [ -s "$R" ]; then mv "$R" "$R.prev.$(date +%s)"; fi
+# liveness marker for chained queues (ADVICE r4): phase-2 checks this PID
+# before proceeding past its bounded wait, so a slow-but-alive phase-1
+# can't be overlapped by a second TPU process
+echo $$ > "$R.pid"
+trap 'rm -f "$R.pid"' EXIT
 
 run() {
   local label="$1"; shift

@@ -25,7 +25,17 @@ if [ -n "$WAIT" ]; then
   START=$(date +%s)
   while ! grep -q "ALL DONE" "$WAIT" 2>/dev/null; do
     if [ $(( $(date +%s) - START )) -gt 14400 ]; then
-      echo "phase2: phase-1 marker never appeared after 4h; proceeding" >> "$R"
+      # ADVICE r4: a slow-tunnel phase-1 can legitimately exceed 4h while
+      # still RUNNING — overlapping it would break the one-TPU-process
+      # rule.  ab_bench.sh writes its PID to $WAIT.pid (cleared on exit);
+      # keep waiting while that process is alive, proceed only once dead.
+      if [ -f "$WAIT.pid" ] && kill -0 "$(cat "$WAIT.pid")" 2>/dev/null; then
+        echo "phase2: 4h elapsed but phase-1 (pid $(cat "$WAIT.pid")) is still alive; continuing to wait" >> "$R"
+        START=$(date +%s)
+        sleep 60
+        continue
+      fi
+      echo "phase2: phase-1 marker never appeared after 4h and no live phase-1 process; proceeding" >> "$R"
       break
     fi
     sleep 60

@@ -89,14 +89,19 @@ def _bench_train(args, cfg, model, params, inputs, compute_dtype, nparam):
             donate_argnums=(0,),
         )
 
+    curve = []
     for _ in range(max(args.warmup, 1)):
         state, metrics = step_fn(state, batch)
+        if args.loss_curve:
+            curve.extend(np.asarray(metrics["loss"]).reshape(-1).tolist())
     jax.tree_util.tree_map(
         lambda x: np.asarray(x), metrics
     )  # host fetch fences the device queue (axon)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = step_fn(state, batch)
+        if args.loss_curve:
+            curve.extend(np.asarray(metrics["loss"]).reshape(-1).tolist())
     loss_last = np.asarray(metrics["loss"]).reshape(-1)[-1]
     dt = (time.perf_counter() - t0) / (args.iters * spc)
 
@@ -111,6 +116,11 @@ def _bench_train(args, cfg, model, params, inputs, compute_dtype, nparam):
         "shape": [B, args.height, args.width],
         "platform": jax.devices()[0].platform,
     }
+    if args.loss_curve:
+        # per-step loss trajectory at fixed inputs (numerics A/Bs, e.g. the
+        # MSDA_BWD_GV_BF16 candidate — VERDICT r4 item 7; timing is tainted
+        # by the per-step host fetch, so ignore step_time_s on such runs)
+        result["loss_curve"] = [round(x, 4) for x in curve]
     out_dir = os.path.join(args.output_dir, "flops")
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "log.txt"), "w") as f:
@@ -131,6 +141,9 @@ def main():
                     help="train mode: optimizer steps per device dispatch "
                          "(lax.scan over a stacked batch; amortizes "
                          "per-execute host overhead)")
+    ap.add_argument("--loss_curve", action="store_true",
+                    help="(train) fetch + report per-step losses at fixed "
+                         "inputs; taints timing (one host fetch per step)")
     ap.add_argument("--train", action="store_true",
                     help="time the full train step (fwd + on-device "
                          "Hungarian + bwd + clip + AdamW) instead of the "

@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Model-wide matmul precision audit (VERDICT r4 item 3).
+
+The Pallas MSDA kernels pin their own dot precisions (ops/msda_pallas.py),
+but every stock-XLA dot (fusion attention, Swin, BERT, heads) runs at
+DEFAULT, which on this stack lowers an f32 matmul to a SINGLE bf16 MXU
+pass (~1e-2 rel err, CLAUDE.md).  Before real weights arrive, the
+mAP-within-0.3 gate (/root/reference/README.md:179-185) needs a declared
+precision policy measured at flagship geometry.
+
+Runs the flagship Swin-T forward on the bench protocol shapes under:
+  f32-highest : f32 params, jax.default_matmul_precision('highest')
+                -> true f32 math, the REFERENCE outputs
+  f32-default : f32 params, DEFAULT precision (single-pass bf16 dots)
+  bf16        : bf16 params+images (the production eval path)
+
+and reports per-config max|d pred_logits| (finite positions), max|d
+pred_boxes|, and throughput, as one JSON line for BENCH_NOTES.
+
+Usage:  python tools/precision_audit.py [--iters 10] [--small]
+  --small uses the 192x320 ladder rung (fast compiles; same dispatch
+  thresholds — QBLOCK/levels/impl do not depend on H) for tunnel-degraded
+  days; the headline row should come from the default 800x1216 bucket.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from contextlib import nullcontext as _nullcontext
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--small", action="store_true",
+                    help="192x320 bucket (fast compile) instead of 800x1216")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from open_groundingdino_tpu.models.bert import BertConfig
+    from open_groundingdino_tpu.models.groundingdino import GroundingDINO
+    from open_groundingdino_tpu.models.swin import SwinConfig
+
+    B, T = 1, 256
+    H, W = (192, 320) if args.small else (800, 1216)
+
+    model = GroundingDINO(
+        swin_cfg=SwinConfig.from_name("swin_T_224_1k"),
+        bert_cfg=BertConfig(),
+        hidden_dim=256, num_queries=900, nheads=8, num_feature_levels=4,
+        enc_layers=6, dec_layers=6, dim_feedforward=2048, max_text_len=T,
+        msda_impl="auto",
+    )
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1000, 20000, size=(B, T)).astype(np.int32)
+    ids[:, 0] = 101
+    ids[:, 120] = 102
+    tmask = (np.arange(T)[None] < 121).repeat(B, 0)
+    sam = np.tile(np.eye(T, dtype=bool)[None], (B, 1, 1))
+    sam[:, 1:120, 1:120] = True
+    inputs = dict(
+        images=rng.randn(B, H, W, 3).astype(np.float32),
+        image_sizes=np.asarray([[H, W]] * B, np.int32),
+        input_ids=ids,
+        text_token_mask=tmask,
+        position_ids=np.tile(np.arange(T, dtype=np.int32)[None], (B, 1)),
+        text_self_attention_masks=sam,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), **inputs)
+
+    def make_fwd(precision):
+        @jax.jit
+        def fwd(variables, images, image_sizes, input_ids, text_token_mask,
+                position_ids, text_self_attention_masks):
+            with jax.default_matmul_precision(precision) if precision else \
+                    _nullcontext():
+                out = model.apply(
+                    variables, images=images, image_sizes=image_sizes,
+                    input_ids=input_ids, text_token_mask=text_token_mask,
+                    position_ids=position_ids,
+                    text_self_attention_masks=text_self_attention_masks,
+                )
+            chk = jnp.sum(out["pred_boxes"].astype(jnp.float32))
+            return out["pred_logits"], out["pred_boxes"], chk
+        return fwd
+
+    def cast_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+
+    configs = {
+        "f32-highest": (make_fwd("highest"), params, inputs["images"]),
+        "f32-default": (make_fwd(None), params, inputs["images"]),
+        "bf16": (make_fwd(None), cast_bf16(params),
+                 inputs["images"].astype(jnp.bfloat16)),
+    }
+
+    rest = (
+        jnp.asarray(inputs["image_sizes"]), jnp.asarray(inputs["input_ids"]),
+        jnp.asarray(inputs["text_token_mask"]),
+        jnp.asarray(inputs["position_ids"]),
+        jnp.asarray(inputs["text_self_attention_masks"]),
+    )
+
+    results = {}
+    for name, (fwd, p, imgs) in configs.items():
+        t_compile = time.perf_counter()
+        lg, bx, chk = fwd(p, jnp.asarray(imgs), *rest)
+        float(chk)
+        t_compile = time.perf_counter() - t_compile
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            lg, bx, chk = fwd(p, jnp.asarray(imgs), *rest)
+        float(chk)
+        dt = time.perf_counter() - t0
+        results[name] = dict(
+            logits=np.asarray(lg, np.float32), boxes=np.asarray(bx, np.float32),
+            ips=B * args.iters / dt, compile_s=t_compile,
+        )
+        print(f"{name}: {results[name]['ips']:.3f} img/s "
+              f"(first call {t_compile:.1f}s)", file=sys.stderr)
+
+    ref = results["f32-highest"]
+    finite = np.isfinite(ref["logits"])
+    report = {"bucket": f"{H}x{W}", "iters": args.iters}
+    for name in ("f32-default", "bf16"):
+        r = results[name]
+        dlg = float(np.max(np.abs(r["logits"][finite] - ref["logits"][finite])))
+        dbx = float(np.max(np.abs(r["boxes"] - ref["boxes"])))
+        # sigmoid-prob delta is what the mAP gate actually sees
+        dpr = float(np.max(np.abs(
+            1 / (1 + np.exp(-r["logits"][finite]))
+            - 1 / (1 + np.exp(-ref["logits"][finite]))
+        )))
+        report[name] = {
+            "max_dlogit": round(dlg, 6), "max_dprob": round(dpr, 6),
+            "max_dbox": round(dbx, 6), "ips": round(r["ips"], 3),
+        }
+    report["f32-highest"] = {"ips": round(ref["ips"], 3)}
+    report["highest_cost_vs_default"] = round(
+        1 - ref["ips"] / results["f32-default"]["ips"], 4
+    )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
