@@ -64,6 +64,75 @@ def _wait_for_device() -> str:
         time.sleep(60)
 
 
+def _compile_health(timeout_s: float = 120.0):
+    """Trivial fresh-compile probe (tunnel_watch.sh recipe): returns the
+    compile seconds, or None if unreachable.  The tunnel has a DEGRADED
+    mode where dispatches work but remote compiles run 30-50x slow
+    (CLAUDE.md) — a trivial compile stays under the persistent-cache
+    min-compile threshold, so it measures the real compile path."""
+    import subprocess
+
+    code = (
+        "import sys, time\n"
+        "import jax, jax.numpy as jnp\n"
+        "d = jax.devices()[0]\n"
+        "t0 = time.time()\n"
+        "k = float(time.time() % 997)\n"
+        "jax.jit(lambda a: a * k + jnp.tanh(a))(jnp.ones((128, 128)))"
+        ".block_until_ready()\n"
+        "print(time.time() - t0)\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s, text=True)
+        if r.returncode == 0 and r.stdout.strip():
+            return float(r.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, ValueError):
+        pass
+    return None
+
+
+def _supervise() -> int:
+    """Bounded-wall supervisor (VERDICT r5 item 10): run the measurement in
+    a child under BENCH_WALL_S; if the wall is hit (a fresh compile on a
+    degraded tunnel can run 30-50x slow), retry ONCE with ENC_SCAN=1 —
+    the ~8x-faster-compiling encoder program (measured fwd -0.3%,
+    BENCH_NOTES r4) — marking the fallback on stderr.  Guarantees bench.py
+    never hangs past ~2x the wall."""
+    import subprocess
+
+    wall = float(os.environ.get("BENCH_WALL_S", "2700"))
+    health = _compile_health()
+    if health is not None and health > 10.0:
+        print(f"bench.py: tunnel compile-DEGRADED (trivial compile "
+              f"{health:.1f}s > 10s); cached programs only are viable",
+              file=sys.stderr)
+
+    env = dict(os.environ, BENCH_CHILD="1")
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           timeout=wall, env=env)
+        if r.returncode == 0:
+            return 0
+        if r.returncode == 3:
+            return 3  # device unreachable — a different program won't help
+    except subprocess.TimeoutExpired:
+        print(f"bench.py: wall {wall:.0f}s exceeded (compile-bound); "
+              "falling back to the ENC_SCAN=1 fast-compile program",
+              file=sys.stderr)
+    if os.environ.get("ENC_SCAN", "0") == "1":
+        return 3  # fallback already active; give up
+    env["ENC_SCAN"] = "1"
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           timeout=wall, env=env)
+        return r.returncode
+    except subprocess.TimeoutExpired:
+        print("bench.py: ENC_SCAN fallback also exceeded the wall",
+              file=sys.stderr)
+        return 3
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     _wait_for_device()
@@ -215,4 +284,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1" or \
+            os.environ.get("BENCH_NO_SUPERVISE") == "1":
+        main()
+    else:
+        sys.exit(_supervise())

@@ -85,7 +85,7 @@ def main(cli):
     from open_groundingdino_tpu.config import SLConfig
     from open_groundingdino_tpu.config.slconfig import parse_override_value
     from open_groundingdino_tpu.data.loader import Collator, DataLoader
-    from open_groundingdino_tpu.data.tokenization import BertWordPieceTokenizer
+    from open_groundingdino_tpu.data.tokenization import build_tokenizer
     from open_groundingdino_tpu.engine import evaluate_coco, train_one_epoch
     from open_groundingdino_tpu.models.criterion import SetCriterion
     import open_groundingdino_tpu.models.groundingdino  # noqa: F401 — registers 'groundingdino'
@@ -140,7 +140,7 @@ def main(cli):
 
     if not cli.vocab:
         raise SystemExit("--vocab path to bert vocab.txt is required")
-    tokenizer = BertWordPieceTokenizer(cli.vocab)
+    tokenizer = build_tokenizer(cli.vocab)
 
     # reference main.py:85-92 build_model_main: dispatch through the
     # name->builder registry so alternate model families plug in by config

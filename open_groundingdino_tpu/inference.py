@@ -22,6 +22,7 @@ from PIL import Image
 from .config import SLConfig
 from .data.tokenization import (
     BertWordPieceTokenizer,
+    build_tokenizer,
     generate_masks_with_special_tokens,
 )
 from .data.transforms import Bucketer, EvalTransform, Sample, normalize_image
@@ -76,7 +77,7 @@ def load_model(
             "vocab_path to a bert-base-uncased vocab.txt is required "
             "(this framework ships its own WordPiece tokenizer)"
         )
-    tokenizer = BertWordPieceTokenizer(vocab_path)
+    tokenizer = build_tokenizer(vocab_path)
 
     params = None
     if checkpoint_path:

@@ -235,8 +235,15 @@ def build_groundingdino(args) -> GroundingDINO:
         num_attention_heads=int(getattr(args, "bert_heads", 12)),
         intermediate_size=int(getattr(args, "bert_intermediate", 3072)),
         max_position_embeddings=int(getattr(args, "bert_max_position", 512)),
+        # roberta-base geometry (reference get_tokenlizer.py:22-29 +
+        # RobertaModel): vocab 50265, max_position 514, type_vocab_size 1 —
+        # the encoder stack is architecturally identical to BERT once
+        # position_ids are passed explicitly (bertwarper semantics), so the
+        # same BertModel serves both; set bert_vocab_size/bert_max_position/
+        # bert_type_vocab in the config and pair with a RobertaBPETokenizer
         hidden_dropout_prob=float(getattr(args, "text_dropout", 0.0)),
         attention_probs_dropout_prob=float(getattr(args, "text_dropout", 0.0)),
+        type_vocab_size=int(getattr(args, "bert_type_vocab", 2)),
     )
     return GroundingDINO(
         swin_cfg=swin_cfg,

@@ -12,6 +12,17 @@ Algorithm: classic O(n^2 m) shortest-augmenting-path ("e-maxx Hungarian")
 over the transposed problem — rows = GT boxes (n = max_gt, padded rows get
 uniform zero cost so they never distort real assignments), cols = queries.
 Float costs; exactness equals scipy up to tie-breaking.
+
+Degenerate inputs (reference matcher.py:112-119 falls back to a greedy
+SimpleMinsumMatcher when scipy THROWS): this solver cannot throw — the
+augmenting-path loop always terminates in n iterations with an injective
+assignment.  All-equal cost rows resolve by scan order (optimal — every
+assignment is); nonfinite entries never reach it on the production path
+(models/matcher.compute_cost_matrix zeroes nonfinite costs per reference
+matcher.py:105-106 and pads invalid columns with BIG_COST), and a
+directly-fed +/-inf matrix still yields a bounded injective result
+(pinned by tests/test_matcher_criterion.test_device_lsap_degenerate_
+matrices), so no greedy fallback is needed.
 """
 from __future__ import annotations
 

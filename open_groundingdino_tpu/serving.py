@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
-from .data.tokenization import BertWordPieceTokenizer
+from .data.tokenization import BertWordPieceTokenizer, build_tokenizer
 from .data.transforms import Bucketer
 
 FORMAT_VERSION = 1
@@ -185,7 +185,7 @@ def load_exported(
         )
     return ServingModel(
         params=params,
-        tokenizer=BertWordPieceTokenizer(vocab),
+        tokenizer=build_tokenizer(vocab),
         bucketer=Bucketer([tuple(b) for b in meta["buckets"]]),
         max_text_len=int(meta["max_text_len"]),
         batch=int(meta["batch"]),

@@ -434,8 +434,11 @@ class TorchGroundingDINO(tnn.Module):
         }
 
 
-@pytest.mark.slow
-def test_composed_full_model_parity():
+def _run_composed_parity(tol=2e-3, B=2, msda_impl="xla"):
+    """Build the torch oracle + flax model at the CURRENT module-global
+    dimensions, push the oracle state dict through the real converter, and
+    assert output parity.  test_composed_flagship_width_parity re-enters
+    with flagship-width globals monkeypatched."""
     torch.manual_seed(0)
     oracle = TorchGroundingDINO().eval()
     # zero-weight sampling offsets make the deformable locs path trivial;
@@ -448,9 +451,9 @@ def test_composed_full_model_parity():
                 )
 
     rng = np.random.RandomState(0)
-    B = 2
     images = rng.randn(B, IMG_H, IMG_W, 3).astype(np.float32)
-    image_sizes = np.asarray([[IMG_H, IMG_W], [48, 72]], np.int64)
+    sizes = [[IMG_H, IMG_W], [IMG_H * 3 // 4, IMG_W * 3 // 4]][:B]
+    image_sizes = np.asarray(sizes * (B // len(sizes) or 1), np.int64)[:B]
     ids = rng.randint(5, BERT.vocab_size, size=(B, T)).astype(np.int64)
     ids[:, 0], ids[:, 10] = 2, 3  # CLS ... SEP-ish
     token_mask = np.zeros((B, T), bool)
@@ -464,9 +467,8 @@ def test_composed_full_model_parity():
         attn3[b, 10, 10] = True
         for t in range(11, T):
             attn3[b, t, t] = True
-    pos_ids = np.asarray(
-        [[0, 0, 1, 2, 3, 0, 1, 2, 3, 4, 0, 0, 0, 0, 0, 0]] * B, np.int64
-    )
+    pos_row = [0, 0, 1, 2, 3, 0, 1, 2, 3, 4, 0] + [0] * (T - 11)
+    pos_ids = np.asarray([pos_row] * B, np.int64)
 
     with torch.no_grad():
         ref = oracle(
@@ -485,7 +487,7 @@ def test_composed_full_model_parity():
     model = GroundingDINO(
         swin_cfg=SWIN, bert_cfg=BERT, hidden_dim=C, num_queries=QN,
         nheads=NHEAD, num_feature_levels=NL, enc_layers=ENC, dec_layers=DEC,
-        dim_feedforward=FFN, max_text_len=T, msda_impl="xla",
+        dim_feedforward=FFN, max_text_len=T, msda_impl=msda_impl,
     )
     out = model.apply(
         {"params": params},
@@ -497,7 +499,7 @@ def test_composed_full_model_parity():
         text_self_attention_masks=jnp.asarray(attn3),
     )
 
-    def cmp_logits(mine, theirs, name, tol=2e-3):
+    def cmp_logits(mine, theirs, name):
         mine = np.asarray(mine, np.float32)[..., :T]
         theirs = theirs.numpy()
         finite = np.isfinite(theirs)
@@ -509,19 +511,58 @@ def test_composed_full_model_parity():
     cmp_logits(out["pred_logits"], ref["pred_logits"], "pred_logits")
     np.testing.assert_allclose(
         np.asarray(out["pred_boxes"], np.float32), ref["pred_boxes"].numpy(),
-        rtol=2e-3, atol=2e-3, err_msg="pred_boxes",
+        rtol=tol, atol=tol, err_msg="pred_boxes",
     )
     cmp_logits(out["interm_outputs"]["pred_logits"], ref["interm_logits"],
                "interm_logits")
     np.testing.assert_allclose(
         np.asarray(out["interm_outputs"]["pred_boxes"], np.float32),
-        ref["interm_boxes"].numpy(), rtol=2e-3, atol=2e-3,
+        ref["interm_boxes"].numpy(), rtol=tol, atol=tol,
         err_msg="interm_boxes",
     )
     for i, aux in enumerate(out.get("aux_outputs", [])):
         cmp_logits(aux["pred_logits"], ref["aux_logits"][i], f"aux_logits_{i}")
         np.testing.assert_allclose(
             np.asarray(aux["pred_boxes"], np.float32),
-            ref["aux_boxes"][i].numpy(), rtol=2e-3, atol=2e-3,
+            ref["aux_boxes"][i].numpy(), rtol=tol, atol=tol,
             err_msg=f"aux_boxes_{i}",
         )
+
+
+@pytest.mark.slow
+def test_composed_full_model_parity():
+    _run_composed_parity()
+
+
+@pytest.mark.slow
+def test_composed_flagship_width_parity(monkeypatch):
+    """Flagship-WIDTH composed torch-oracle parity (VERDICT r4 item 4):
+    hidden 256, 8 heads, FFN 2048, Q=900, BERT hidden 768 — every
+    width-dependent numeric path at production scale (nano runs at hidden
+    32 / embed 8).  Depths stay 1 and the bucket is the smallest real
+    ladder rung (192x320, 1275 tokens >= 900 two-stage proposals) to keep
+    CPU runtime sane; widths, not depths, are what the nano tier cannot
+    witness."""
+    import tests.test_composed_model_parity as mod
+
+    monkeypatch.setattr(mod, "T", 48)
+    monkeypatch.setattr(mod, "QN", 900)
+    monkeypatch.setattr(mod, "C", 256)
+    monkeypatch.setattr(mod, "NHEAD", 8)
+    monkeypatch.setattr(mod, "FFN", 2048)
+    monkeypatch.setattr(mod, "ENC", 1)
+    monkeypatch.setattr(mod, "DEC", 1)
+    monkeypatch.setattr(mod, "IMG_H", 192)
+    monkeypatch.setattr(mod, "IMG_W", 320)
+    monkeypatch.setattr(mod, "SWIN", SwinConfig(
+        embed_dim=96, depths=(1, 1, 1, 1), num_heads=(3, 6, 12, 24),
+        window_size=7, out_indices=(1, 2, 3),
+    ))
+    monkeypatch.setattr(mod, "BERT", BertConfig(
+        vocab_size=512, hidden_size=768, num_hidden_layers=1,
+        num_attention_heads=12, intermediate_size=768,
+        max_position_embeddings=512, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    ))
+    # wider accumulations (K=256/768/2048 dots) widen f32 spread vs torch
+    _run_composed_parity(tol=5e-3, B=1)
