@@ -139,6 +139,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # BENCH_POST_XLA_FLAGS: set XLA_FLAGS *after* backend init.  The local
+    # jaxlib's flag parser fatally aborts on unknown (e.g. any xla_tpu_*)
+    # flags at init, but the axon remote-compile client hashes/forwards
+    # the env per request (axon/register/pjrt.py:213-215), so a post-init
+    # value reaches the REMOTE compiler without tripping the local parse.
+    if os.environ.get("BENCH_POST_XLA_FLAGS"):
+        jax.devices()  # force init under the original (parseable) env
+        os.environ["XLA_FLAGS"] = os.environ["BENCH_POST_XLA_FLAGS"]
+
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 

@@ -43,6 +43,10 @@ def get_args_parser():
                    help="checkpoint whose params are loaded AND frozen "
                         "(reference main.py:338-341)")
     p.add_argument("--vocab", default="", help="bert vocab.txt path")
+    p.add_argument("--stage_dir", default="",
+                   help="stage dataset files to this node-local dir before "
+                        "training (reference datasets/data_util.py "
+                        "preparing_dataset; zips are extracted)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--debug", action="store_true",
@@ -152,10 +156,24 @@ def main(cli):
         bbox_loss_coef=args.bbox_loss_coef, giou_loss_coef=args.giou_loss_coef,
         interm_loss_coef=args.interm_loss_coef,
         focal_alpha=args.focal_alpha, focal_gamma=args.focal_gamma,
+        matcher_type=str(getattr(args, "matcher_type", "HungarianMatcher")),
     )
 
     with open(cli.datasets) as f:
         manifest = json.load(f)
+    if cli.stage_dir:
+        # node-local dataset staging (reference datasets/data_util.py:117-169
+        # preparing_dataset): copy/unzip to local disk once per host, then
+        # barrier so no process reads a half-staged copy
+        from open_groundingdino_tpu.data.staging import stage_datasets
+
+        manifest, copyfilelist = stage_datasets(manifest, cli.stage_dir)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("dataset_staging")
+        logger.info(f"staged {len(copyfilelist)} dataset paths to "
+                    f"{cli.stage_dir}")
 
     collator = Collator(
         tokenizer, args.image_buckets, args.max_text_len, args.max_gt_boxes,

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import box_ops
-from .matcher import compute_cost_matrix, hungarian_assign
+from .matcher import compute_cost_matrix, hungarian_assign, minsum_assign
 
 
 def build_one_hot_targets(
@@ -100,7 +100,12 @@ class SetCriterion:
         interm_loss_coef: float = 1.0,
         focal_alpha: float = 0.25,
         focal_gamma: float = 2.0,
+        matcher_type: str = "HungarianMatcher",
     ):
+        assert matcher_type in ("HungarianMatcher", "SimpleMinsumMatcher"), (
+            f"Unknown matcher_type: {matcher_type}"  # reference matcher.py:205
+        )
+        self.matcher_type = matcher_type
         self.num_queries = num_queries
         self.cost_class = cost_class
         self.cost_bbox = cost_bbox
@@ -147,7 +152,11 @@ class SetCriterion:
             ]
         )  # (S, B, Q, G)
         S, B, Q, G = costs.shape
-        src_idx = hungarian_assign(
+        assign = (
+            minsum_assign if self.matcher_type == "SimpleMinsumMatcher"
+            else hungarian_assign
+        )
+        src_idx = assign(
             costs.reshape(S * B, Q, G),
             jnp.tile(gt_valid, (S, 1)),
         ).reshape(S, B, G)

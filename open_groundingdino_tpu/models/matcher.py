@@ -87,6 +87,17 @@ def _host_lsa(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return out
 
 
+def minsum_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarray:
+    """SimpleMinsumMatcher semantics (reference matcher.py:123-201,
+    selectable via args.matcher_type, build_matcher 204-217): every GT
+    independently takes its min-cost query.  NOT injective — two GTs may
+    claim the same query, exactly as upstream (`weight_mat.min(0)[1]`).
+    (N, Q, G) costs -> (N, G) query indices, sentinel Q on invalid slots."""
+    cost = jax.lax.stop_gradient(cost)
+    src = jnp.argmin(cost, axis=1).astype(jnp.int32)  # (N, G)
+    return jnp.where(gt_valid, src, jnp.int32(cost.shape[1]))
+
+
 def hungarian_assign(
     cost: jnp.ndarray, gt_valid: jnp.ndarray, method: str = "device"
 ) -> jnp.ndarray:

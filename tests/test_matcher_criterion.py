@@ -186,6 +186,39 @@ def test_device_lsap_degenerate_matrices():
     assert len(set(rows.tolist())) == len(rows)
 
 
+def test_minsum_matcher():
+    """SimpleMinsumMatcher (reference matcher.py:123-201, matcher_type
+    config): per-GT argmin over queries, collisions allowed, sentinel on
+    invalid slots — and the criterion runs end to end with it."""
+    from open_groundingdino_tpu.models.matcher import minsum_assign
+
+    rng = np.random.RandomState(5)
+    cost = rng.randn(3, 20, 6).astype(np.float32)
+    valid = rng.rand(3, 6) > 0.3
+    got = np.asarray(minsum_assign(jnp.asarray(cost), jnp.asarray(valid)))
+    expect = cost.argmin(axis=1)
+    assert (got[valid] == expect[valid]).all()
+    assert (got[~valid] == 20).all()
+
+    logits, boxes, gt_boxes, pos_maps, gvalid = _inputs()
+    crit = SetCriterion(num_queries=Q, matcher_type="SimpleMinsumMatcher")
+    outputs = {
+        "pred_logits": jnp.asarray(logits),
+        "pred_boxes": jnp.asarray(boxes),
+        "text_mask": jnp.ones((B, T), bool),
+    }
+    total, losses = jax.jit(
+        lambda o, gb, pm, gv: crit(o, gb, pm, gv)
+    )(outputs, jnp.asarray(gt_boxes), jnp.asarray(pos_maps),
+      jnp.asarray(gvalid))
+    assert np.isfinite(float(total))
+    assert "loss_ce" in losses
+
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        SetCriterion(matcher_type="NoSuchMatcher")
+
+
 def test_one_hot_scatter():
     _, _, _, pos_maps, valid = _inputs()
     src = np.full((B, G), Q, np.int32)

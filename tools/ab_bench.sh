@@ -42,10 +42,10 @@ TRAIN=(python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py
 
 run "fwd-baseline-HEAD"      python bench.py
 run "train-baseline"         "${TRAIN[@]}"
-# >>> unmeasured candidates (first on a healthy tunnel; failures are
-# informational — a bad flag aborts that run only):
-run "fwd-xla-vmem64m"        env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
-run "fwd-xla-no-lhs"         env XLA_FLAGS=--xla_tpu_enable_latency_hiding_scheduler=false python bench.py
+# XLA-flag probes REMOVED (closed out 2026-08-20, r5): the xla_tpu_*
+# compiler flags are unknown to this jaxlib (fatal abort at init — what
+# looked like 6x tunnel losses was flag rejection) and the axon
+# remote_compile service takes no client-side compiler flags.
 
 # Fresh attribution at the HEAD defaults (feeds the next optimization pick):
 PROF=(python tools/profile.py -c open_groundingdino_tpu/config/cfg_coco.py)

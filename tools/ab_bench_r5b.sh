@@ -60,9 +60,15 @@ TRAIN=(python tools/benchmark.py -c open_groundingdino_tpu/config/cfg_coco.py
 run "fwd-baseline"           python bench.py
 run "train-baseline"         "${TRAIN[@]}"
 
-# XLA-flag probes: 5th attempt (failed to the tunnel 4x in r4, 1x in r5-A)
-run "fwd-xla-vmem64m"        env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
-run "fwd-xla-no-lhs"         env XLA_FLAGS=--xla_tpu_enable_latency_hiding_scheduler=false python bench.py
+# XLA-flag probes via the LOCAL parser: CLOSED OUT 2026-08-20 (r5) — the
+# xla_tpu_* flags are unknown to this jaxlib (fatal abort at init; the
+# binary's DebugOptions has no xla_tpu_* compiler fields).  One loophole
+# remains: the axon client reads XLA_FLAGS per-request for its compile
+# cache hash (axon/register/pjrt.py:213-215) — the probe below decides
+# whether post-init env values reach the REMOTE compiler at all, and if
+# they do, the bench rows A/B the vmem limit through BENCH_POST_XLA_FLAGS.
+run "xla-flag-forwarding-probe" python tools/xla_flag_probe.py
+run "fwd-xla-vmem64m-postinit"  env BENCH_POST_XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
 
 # precision policy audit (VERDICT item 3): 3 fresh flagship compiles
 run "precision-audit"        python tools/precision_audit.py --iters 10

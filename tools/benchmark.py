@@ -63,6 +63,7 @@ def _bench_train(args, cfg, model, params, inputs, compute_dtype, nparam):
         interm_loss_coef=getattr(cfg, "interm_loss_coef", 1.0),
         focal_alpha=cfg.focal_alpha,
         focal_gamma=getattr(cfg, "focal_gamma", 2.0),
+        matcher_type=str(getattr(cfg, "matcher_type", "HungarianMatcher")),
     )
     tx = make_optimizer(
         params["params"], lr=float(cfg.lr), lr_backbone=float(cfg.lr_backbone),
