@@ -67,6 +67,10 @@ run "train-baseline"         "${TRAIN[@]}"
 # cache hash (axon/register/pjrt.py:213-215) — the probe below decides
 # whether post-init env values reach the REMOTE compiler at all, and if
 # they do, the bench rows A/B the vmem limit through BENCH_POST_XLA_FLAGS.
+# seed the ENC_SCAN fwd program (bench.py's degraded-tunnel fallback)
+# into /tmp/jax_cache + re-confirm its fwd neutrality at current HEAD
+run "fwd-enc-scan-seed"      env ENC_SCAN=1 BENCH_NO_SUPERVISE=1 python bench.py
+
 run "xla-flag-forwarding-probe" python tools/xla_flag_probe.py
 run "fwd-xla-vmem64m-postinit"  env BENCH_POST_XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
 
