@@ -267,7 +267,7 @@ def main(cli):
         stats = evaluate_coco(
             eval_step, params, eval_loader, mesh, postprocessor,
             val_dataset.coco, val_dataset.contiguous_to_catid, logger,
-            max_steps=max_steps,
+            max_steps=max_steps, precast_dtype=compute_dtype,
         )
         with open(os.path.join(cli.output_dir, "eval_stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
@@ -387,7 +387,7 @@ def main(cli):
         eval_stats = evaluate_coco(
             eval_step, state.params, eval_loader, mesh, postprocessor,
             val_dataset.coco, val_dataset.contiguous_to_catid, logger,
-            max_steps=max_steps,
+            max_steps=max_steps, precast_dtype=compute_dtype,
         )
         if best.update(float(eval_stats.get("AP", -1.0)), epoch) and (
             jax.process_index() == 0
@@ -403,7 +403,7 @@ def main(cli):
             ema_raw = evaluate_coco(
                 eval_step, state.ema_params, eval_loader, mesh, postprocessor,
                 val_dataset.coco, val_dataset.contiguous_to_catid, logger,
-                max_steps=max_steps,
+                max_steps=max_steps, precast_dtype=compute_dtype,
             )
             ema_stats = {f"ema_{k}": v for k, v in ema_raw.items()}
             if best.update(

@@ -31,6 +31,16 @@ def _stage_one(src: str, stage_dir: str, copylist: List[str]) -> str:
     name = os.path.basename(src.rstrip("/"))
     dst = os.path.join(stage_dir, name)
     marker = dst + ".staged"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() != src:
+                # basename collision between two different sources:
+                # disambiguate with a short hash of the source path
+                import hashlib
+
+                tag = hashlib.sha1(src.encode()).hexdigest()[:8]
+                dst = os.path.join(stage_dir, f"{tag}_{name}")
+                marker = dst + ".staged"
 
     if src.endswith(".zip"):
         # copy + extract (reference data_util.py:141-149); the manifest
@@ -51,7 +61,17 @@ def _stage_one(src: str, stage_dir: str, copylist: List[str]) -> str:
         if os.path.isdir(src):
             if os.path.exists(dst):
                 shutil.rmtree(dst)  # reference: "path exist. remove it!"
-            shutil.copytree(src, dst)
+            # never descend into the stage dir itself (staging a root that
+            # CONTAINS stage_dir would otherwise recurse forever)
+            stage_abs = os.path.abspath(stage_dir)
+
+            def _skip_stage(d, names):
+                return [
+                    n for n in names
+                    if os.path.abspath(os.path.join(d, n)) == stage_abs
+                ]
+
+            shutil.copytree(src, dst, ignore=_skip_stage)
         else:
             shutil.copy2(src, dst)
         copylist.append(dst)

@@ -199,6 +199,7 @@ def evaluate_coco(
     logger=None,
     print_freq: int = 50,
     max_steps: Optional[int] = None,
+    precast_dtype=None,
 ):
     """Zero-shot / fine-tuned COCO eval: forward -> token->class projection ->
     top-k -> numpy COCO mAP.
@@ -208,6 +209,21 @@ def evaluate_coco(
     fetch, NMS, evaluator.update) runs, so host work overlaps device
     execution — the reference's eval loop serializes these
     (engine_multi.py:596-949; its per-batch .cpu() blocks the GPU queue)."""
+    # EVAL_PRECAST=1 (candidate, default off pending on-chip A/B): cast
+    # the f32 master params to the eval compute dtype ONCE on device
+    # instead of inside every dispatch (make_eval_step's cast_floating
+    # re-converts all ~172M params per batch, ~0.7 GB of HBM traffic; the
+    # in-step cast becomes a no-op on already-bf16 leaves)
+    import os as _os
+
+    if precast_dtype is not None and \
+            _os.environ.get("EVAL_PRECAST", "0") == "1":
+        from .parallel.train_state import cast_floating
+
+        params = jax.jit(
+            lambda p: cast_floating(p, precast_dtype)
+        )(params)
+
     evaluator = CocoBboxEvaluator(coco_index)
     metric_logger = MetricLogger(logger=logger)
 

@@ -52,6 +52,12 @@ MEASURED_DEFAULTS = {
     "OPT_FLAT": "0",             # compile-INFEASIBLE on this XLA (23 GB
                                  # T(8,128) relayout of the flat buffer,
                                  # 2026-08-20); env-gated for a future XLA
+    "EVAL_PRECAST": "0",         # unmeasured candidate (one-time device
+                                 # param cast for eval instead of per-
+                                 # dispatch cast_floating); A/B queued
+    "MSDA_BWD_GV_BF16": "0",     # unmeasured candidate (bf16 gv
+                                 # accumulation in the banded backward);
+                                 # A/B + loss-curve check queued
 }
 
 GATE_RE = re.compile(r"environ\.get\(\s*\"([A-Z0-9_]+)\"\s*,\s*\"([^\"]*)\"")

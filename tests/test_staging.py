@@ -59,3 +59,40 @@ def test_stage_and_cleanup(tmp_path):
     cleanup_staged(copylist)
     assert not os.path.exists(tr["root"])
     assert not os.path.exists(va["root"])
+
+
+def test_stage_basename_collision(tmp_path):
+    """Two different sources with the same basename must not overwrite
+    each other (hash-disambiguated)."""
+    a = tmp_path / "dsA"; a.mkdir()
+    b = tmp_path / "dsB"; b.mkdir()
+    (a / "anno.json").write_text("A")
+    (b / "anno.json").write_text("B")
+    stage = str(tmp_path / "local")
+    manifest = {
+        "train": [{"root": str(a), "anno": str(a / "anno.json")}],
+        "val": [{"root": str(b), "anno": str(b / "anno.json")}],
+    }
+    staged, _ = stage_datasets(manifest, stage)
+    pa = staged["train"][0]["anno"]
+    pb = staged["val"][0]["anno"]
+    assert pa != pb
+    assert open(pa).read() == "A" and open(pb).read() == "B"
+    ra = staged["train"][0]["root"]
+    rb = staged["val"][0]["root"]
+    assert ra != rb
+
+
+def test_stage_dir_inside_source_root(tmp_path):
+    """Staging a root that CONTAINS the stage dir must not recurse into
+    itself (caught by the round-5 verify drive)."""
+    src = tmp_path / "ws"
+    (src / "images").mkdir(parents=True)
+    (src / "images" / "a.jpg").write_bytes(b"x")
+    (src / "anno.json").write_text("{}")
+    stage = str(src / "staged")  # inside the root being staged
+    manifest = {"val": [{"root": str(src), "anno": str(src / "anno.json")}]}
+    staged, _ = stage_datasets(manifest, stage)
+    root = staged["val"][0]["root"]
+    assert os.path.exists(os.path.join(root, "images", "a.jpg"))
+    assert not os.path.exists(os.path.join(root, "staged"))

@@ -227,6 +227,7 @@ def main():
     evaluate_coco(
         eval_step, params, loader2, mesh, postprocessor, val_dataset.coco,
         val_dataset.contiguous_to_catid, logger=None,
+        precast_dtype=compute_dtype,
     )
     pipe_dt = time.perf_counter() - t0
     pipe_ips = args_cli.images / pipe_dt
