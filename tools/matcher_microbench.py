@@ -102,6 +102,10 @@ def main():
         jfn = jax.jit(fn)
         arrs = (logits, boxes, gt_boxes, pos_maps, gt_valid)
 
+    # upload operands ONCE: passing numpy per call re-ships ~26 MB of
+    # logits through the tunnel every iteration (wall-dominating; the
+    # 2026-08-20 run measured 515 ms wall vs ~8 ms device because of it)
+    arrs = tuple(jax.device_put(jnp.asarray(a)) for a in arrs)
     out = jfn(*arrs)
     float(out)  # compile + fence (block_until_ready unreliable on axon)
 

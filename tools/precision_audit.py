@@ -121,14 +121,18 @@ def main():
 
     results = {}
     for name, (fwd, p, imgs) in configs.items():
+        imgs_dev = jax.device_put(jnp.asarray(imgs))  # upload ONCE
         t_compile = time.perf_counter()
-        lg, bx, chk = fwd(p, jnp.asarray(imgs), *rest)
+        lg, bx, chk = fwd(p, imgs_dev, *rest)
         float(chk)
         t_compile = time.perf_counter() - t_compile
+        for _ in range(2):  # settle the dispatch queue
+            lg, bx, chk = fwd(p, imgs_dev, *rest)
+        float(chk)
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            lg, bx, chk = fwd(p, jnp.asarray(imgs), *rest)
-        float(chk)
+            lg, bx, chk = fwd(p, imgs_dev, *rest)
+        float(chk)  # scalar fence; lg/bx fetched only after timing
         dt = time.perf_counter() - t0
         results[name] = dict(
             logits=np.asarray(lg, np.float32), boxes=np.asarray(bx, np.float32),
@@ -142,16 +146,27 @@ def main():
     report = {"bucket": f"{H}x{W}", "iters": args.iters}
     for name in ("f32-default", "bf16"):
         r = results[name]
-        dlg = float(np.max(np.abs(r["logits"][finite] - ref["logits"][finite])))
-        dbx = float(np.max(np.abs(r["boxes"] - ref["boxes"])))
-        # sigmoid-prob delta is what the mAP gate actually sees
-        dpr = float(np.max(np.abs(
+        # NOTE: with random-init weights the two-stage top-k selection is
+        # densely tied, so ANY numeric perturbation swaps some of the 900
+        # selected proposals and the per-query MAX deltas saturate (~1.0)
+        # — a discrete-selection artifact, not per-element precision.
+        # Quantiles over the matched bulk are the informative numbers;
+        # the max rows are kept to expose the top-k flip fraction.
+        dpr = np.abs(
             1 / (1 + np.exp(-r["logits"][finite]))
             - 1 / (1 + np.exp(-ref["logits"][finite]))
-        )))
+        )
+        dbx = np.abs(r["boxes"] - ref["boxes"]).reshape(-1)
         report[name] = {
-            "max_dlogit": round(dlg, 6), "max_dprob": round(dpr, 6),
-            "max_dbox": round(dbx, 6), "ips": round(r["ips"], 3),
+            "dprob_p50": round(float(np.median(dpr)), 6),
+            "dprob_p99": round(float(np.percentile(dpr, 99)), 6),
+            "dprob_max": round(float(dpr.max()), 6),
+            "frac_dprob_gt_1e-2": round(float((dpr > 1e-2).mean()), 6),
+            "dbox_p50": round(float(np.median(dbx)), 6),
+            "dbox_p99": round(float(np.percentile(dbx, 99)), 6),
+            "dbox_max": round(float(dbx.max()), 6),
+            "frac_dbox_gt_1e-2": round(float((dbx > 1e-2).mean()), 6),
+            "ips": round(r["ips"], 3),
         }
     report["f32-highest"] = {"ips": round(ref["ips"], 3)}
     report["highest_cost_vs_default"] = round(
