@@ -117,7 +117,11 @@ def main():
                          "feeding via local PCIe would see")
     args_cli = ap.parse_args()
 
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
 
     from open_groundingdino_tpu.config.slconfig import SLConfig
     from open_groundingdino_tpu.data.loader import Collator, DataLoader
@@ -198,6 +202,16 @@ def main():
     sharded = shard_batch(first, mesh)
     out = eval_step(params, sharded)
     np.asarray(out["pred_boxes"])  # compile + settle
+    if os.environ.get("EVAL_PRECAST", "0") == "1" and compute_dtype is not None:
+        # warm the bf16-param eval program OUTSIDE the timed pipeline
+        # (evaluate_coco's internal precast would otherwise compile it
+        # inside the measurement window — the 2026-08-20 phase-C runs
+        # were compile-tainted exactly this way)
+        from open_groundingdino_tpu.parallel.train_state import cast_floating
+
+        warm = jax.jit(lambda p: cast_floating(p, compute_dtype))(params)
+        out = eval_step(warm, sharded)
+        np.asarray(out["pred_boxes"])
     t0 = time.perf_counter()
     for _ in range(args_cli.fwd_iters):
         out = eval_step(params, sharded)
