@@ -690,14 +690,16 @@ def _banded_bwd_call(values, px, py, wa, g, ranges, spatial_shapes,
         ],
         out_specs=val_specs + [tap_spec(), tap_spec(), tap_spec()],
     )
-    # MSDA_BWD_GV_BF16=1 (candidate, default OFF pending on-chip A/B +
-    # loss-curve check — VERDICT r4 item 7): accumulate the grad_value
-    # buffers in bf16 when values are bf16.  Halves the gv RMW bytes and
-    # runs the B@sx dot single-pass; numerics risk is the bf16 += across
-    # the revisited qb grid steps (the e2e path casts gv to value dtype
-    # afterwards either way, _banded_bwd_native).
+    # MSDA_BWD_GV_BF16 (default ON, measured 2026-08-20): accumulate the
+    # grad_value buffers in bf16 when values are bf16 — halves the gv RMW
+    # bytes and runs the B@sx dot single-pass.  Two same-session train
+    # A/Bs: 0.4974 vs 0.5018 and 0.4979 vs 0.4999 s/step; fixed-seed
+    # 40-step loss curves identical for 3 steps then chaotically diverging
+    # with the same dynamics, both finite (the documented reassociation
+    # behavior).  The e2e path cast gv to value dtype afterwards anyway
+    # (_banded_bwd_native), so only the ACCUMULATION precision changed.
     gv_bf16 = (
-        bool(int(os.environ.get("MSDA_BWD_GV_BF16", "0")))
+        bool(int(os.environ.get("MSDA_BWD_GV_BF16", "1")))
         and values[0].dtype == jnp.bfloat16
     )
     out_shape = [

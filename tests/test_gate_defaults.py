@@ -52,12 +52,15 @@ MEASURED_DEFAULTS = {
     "OPT_FLAT": "0",             # compile-INFEASIBLE on this XLA (23 GB
                                  # T(8,128) relayout of the flat buffer,
                                  # 2026-08-20); env-gated for a future XLA
-    "EVAL_PRECAST": "0",         # unmeasured candidate (one-time device
-                                 # param cast for eval instead of per-
-                                 # dispatch cast_floating); A/B queued
-    "MSDA_BWD_GV_BF16": "0",     # unmeasured candidate (bf16 gv
-                                 # accumulation in the banded backward);
-                                 # A/B + loss-curve check queued
+    "EVAL_PRECAST": "1",         # measured 3.89 -> 7.64 img/s (+96%)
+                                 # device-resident eval pipeline
+                                 # same-session (2026-08-20): one-time
+                                 # device param cast replaces the
+                                 # per-dispatch cast_floating
+    "MSDA_BWD_GV_BF16": "1",     # measured 0.4974 vs 0.5018 AND 0.4979
+                                 # vs 0.4999 s/step same-session
+                                 # (2026-08-20): bf16 gv accumulation in
+                                 # the banded backward; loss curves clean
 }
 
 GATE_RE = re.compile(r"environ\.get\(\s*\"([A-Z0-9_]+)\"\s*,\s*\"([^\"]*)\"")
