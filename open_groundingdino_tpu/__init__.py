@@ -14,9 +14,11 @@ Design stance (vs the CUDA/torch reference at /root/reference):
     models/GroundingDINO/ops/) becomes a Pallas bilinear-gather kernel with
     a pure-XLA gather reference path (ops/msda.py)
   * data parallelism via jax.sharding.Mesh + jit, not DDP/NCCL
-  * host/device split: tokenization, positive maps and Hungarian assignment
-    run on host (the latter through jax.pure_callback inside the jitted
-    train step), everything else on device in bf16/fp32.
+  * host/device split: tokenization and positive maps run on host; the
+    Hungarian assignment runs ON DEVICE inside the jitted train step
+    (ops/hungarian.py Jonker-Volgenant — the axon TPU runtime has no
+    host-callback support, and it removes the reference's per-step
+    C.cpu() sync); compute in bf16 with fp32 master params.
 """
 
 __version__ = "0.1.0"
